@@ -1,0 +1,149 @@
+"""Dataset loading: Flickr, Yelp, Reddit, ogbn-arxiv, ogbn-products, ogbn-proteins.
+
+The reference loads these through DGL/OGB downloaders
+(`/root/reference/maxk_gnn_dgl.py:219-282`). This framework is torch/DGL-free at
+runtime; datasets are read from a simple `.npz` interchange format (one file per
+dataset under `data_path`), produced once by `scripts/convert_to_npz.py` on any
+machine with DGL/OGB installed. When the file is absent, `load_dataset` can fall
+back to a synthetic stand-in with matching structural statistics (explicitly
+opt-in — accuracy numbers are only meaningful on real data).
+
+npz schema (all required unless noted):
+  edge_src, edge_dst : int64[E]   directed edge list (as stored by DGL — i.e.
+                                  already symmetric for reddit/flickr/yelp)
+  feat               : float32[N, F]   node features (absent for proteins)
+  label              : int64[N] or float32[N, C] (multilabel)
+  train_mask, val_mask, test_mask : bool[N]
+  num_classes        : int scalar
+  edge_feat          : float32[E, 8]  (ogbn-proteins only)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from spgemm_gnn_tpu.graphs.csr import Graph, from_edges, add_self_loops
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
+
+DATASETS = ("reddit", "flickr", "yelp", "ogbn-arxiv", "ogbn-products",
+            "ogbn-proteins")
+
+# Multilabel datasets use BCE-with-logits + micro-F1 / ROC-AUC
+# (reference maxk_gnn_dgl.py:84-87).
+MULTILABEL = ("yelp", "ogbn-proteins")
+
+# N / E / feat-dim / classes for synthetic stand-ins
+# (reference spgemm_plot.py:6-13 and dataset docs).
+SYNTH_SPECS = {
+    "reddit":        dict(n=232_965, e=114_615_892, f=602, c=41),
+    "flickr":        dict(n=89_250, e=899_756, f=500, c=7),
+    "yelp":          dict(n=716_847, e=13_954_819, f=300, c=100),
+    "ogbn-arxiv":    dict(n=169_343, e=1_166_243, f=128, c=40),
+    "ogbn-products": dict(n=2_449_029, e=123_718_280, f=100, c=47),
+    "ogbn-proteins": dict(n=132_534, e=79_122_504, f=8, c=112),
+}
+
+
+@dataclasses.dataclass
+class Dataset:
+    name: str
+    graph: Graph
+    features: np.ndarray          # float32 [N, F]
+    labels: np.ndarray            # int64 [N] or float32 [N, C]
+    train_mask: np.ndarray        # bool [N]
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    num_classes: int
+    multilabel: bool
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+
+def _npz_path(data_path: str, name: str) -> str:
+    return os.path.join(data_path, f"{name.replace('-', '_')}.npz")
+
+
+def load_dataset(name: str, data_path: str = "./data", *,
+                 self_loop: bool = False,
+                 allow_synthetic: bool = False,
+                 synthetic_scale: float = 1.0,
+                 seed: int = 0) -> Dataset:
+    """Load a dataset from npz, optionally falling back to a synthetic stand-in.
+
+    self_loop applies the remove-then-add transform
+    (reference maxk_gnn_dgl.py:221-223 AddSelfLoop / :293 add_self_loop).
+    """
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; expected one of {DATASETS}")
+    path = _npz_path(data_path, name)
+    if os.path.exists(path):
+        ds = _load_npz(name, path)
+    elif allow_synthetic:
+        ds = _synthetic_dataset(name, scale=synthetic_scale, seed=seed)
+    else:
+        raise FileNotFoundError(
+            f"{path} not found. Produce it with scripts/convert_to_npz.py on a "
+            f"machine with DGL/OGB, or use a synthetic structural stand-in "
+            f"(CLI: --synthetic; API: allow_synthetic=True).")
+    if self_loop:
+        ds.graph = add_self_loops(ds.graph)
+    return ds
+
+
+def _load_npz(name: str, path: str) -> Dataset:
+    z = np.load(path)
+    n = z["train_mask"].shape[0]
+    graph = from_edges(z["edge_src"], z["edge_dst"], n)
+    if name == "ogbn-proteins":
+        # Node features = sum of incident 8-dim edge features
+        # (reference utils/proteins_loader.py:42-44: update_all(copy_e, sum)
+        # over in-edges).
+        feat = np.zeros((n, z["edge_feat"].shape[1]), dtype=np.float32)
+        np.add.at(feat, z["edge_dst"], z["edge_feat"].astype(np.float32))
+        labels = z["label"].astype(np.float32)
+    else:
+        feat = z["feat"].astype(np.float32)
+        labels = z["label"]
+        if name in MULTILABEL:
+            labels = labels.astype(np.float32)
+        else:
+            labels = labels.astype(np.int64).ravel()
+    return Dataset(
+        name=name, graph=graph, features=feat, labels=labels,
+        train_mask=z["train_mask"].astype(bool),
+        val_mask=z["val_mask"].astype(bool),
+        test_mask=z["test_mask"].astype(bool),
+        num_classes=int(z["num_classes"]),
+        multilabel=name in MULTILABEL,
+    )
+
+
+def _synthetic_dataset(name: str, scale: float = 1.0, seed: int = 0) -> Dataset:
+    """Structural stand-in: matching-N/E power-law graph, random features, random
+    labels with a planted linear signal so training curves are non-trivial."""
+    spec = SYNTH_SPECS[name]
+    n = max(int(spec["n"] * scale), 128)
+    e = max(int(spec["e"] * scale), 512)
+    f, c = spec["f"], spec["c"]
+    graph = powerlaw_graph(n, e // 2, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    feat = rng.standard_normal((n, f), dtype=np.float32)
+    w = rng.standard_normal((f, c)).astype(np.float32)
+    logits = feat @ w
+    multilabel = name in MULTILABEL
+    if multilabel:
+        labels = (logits > np.quantile(logits, 0.9, axis=0)).astype(np.float32)
+    else:
+        labels = logits.argmax(1).astype(np.int64)
+    # 60/20/20 split
+    idx = rng.permutation(n)
+    train_mask = np.zeros(n, bool); train_mask[idx[: int(0.6 * n)]] = True
+    val_mask = np.zeros(n, bool); val_mask[idx[int(0.6 * n): int(0.8 * n)]] = True
+    test_mask = np.zeros(n, bool); test_mask[idx[int(0.8 * n):]] = True
+    return Dataset(name=name, graph=graph, features=feat, labels=labels,
+                   train_mask=train_mask, val_mask=val_mask,
+                   test_mask=test_mask, num_classes=c, multilabel=multilabel)

@@ -1,0 +1,148 @@
+"""Sparse aggregation with CBSR features: SpGEMM forward + SSpMM backward.
+
+The forward computes y[v] = Σ_{in-edges u→v} w_e · x[u] where x is the MaxK-
+sparse feature matrix given in CBSR form (values f32[N,k], channels i32[N,k]).
+The backward computes the cotangent only at the k surviving channels per node —
+the sampled (output-sparse) SSpMM:
+
+    dvalues[v, j] = src_f[v] · Σ_{out-edges v→u} dst_f[u] · g[u, channels[v, j]]
+
+This mirrors the reference CUDA pair `spmm_kernel_opt2_sparse_v3` /
+`spmm_kernel_opt2_sparse_backward_v3` (SURVEY.md §2.1 [bin]) but is wired as a
+single differentiable op via `jax.custom_vjp` — fixing the reference's
+integration gap where `spgemm_forward` was called outside any autograd.Function
+(SURVEY.md §3.2).
+
+Edge weights are separable: w_e = src_f[src] · dst_f[dst] (see ops/norms.py), so
+both passes apply node factors as pre/post scalings instead of materialising [E]
+weight arrays.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+from spgemm_gnn_tpu.ops.norms import node_factors
+from spgemm_gnn_tpu.ops.spmm import spmm as _dense_spmm
+
+IMPLS = ("auto", "xla", "xla_dense", "pallas")
+
+
+def _scale(x, f):
+    return x if f is None else x * f[:, None].astype(x.dtype)
+
+
+def _spgemm_forward_xla(dim, values, channels, src_f, dst_f, indices, edge_dst):
+    """Dense-reconstruct forward: CBSR → dense rows, gather + segment_sum."""
+    num_nodes = values.shape[0]
+    x = cbsr_to_dense(values, channels, dim)
+    x = _scale(x, src_f)
+    msgs = jnp.take(x, indices, axis=0)
+    y = jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes,
+                            indices_are_sorted=True)
+    return _scale(y, dst_f)
+
+
+def _sspmm_backward_xla(g, channels, src_f, dst_f, t_indices, t_edge_dst):
+    """Sampled backward: gathers only the k surviving channels per source node.
+
+    g: dense upstream cotangent f32[N, dim]. Returns dvalues f32[N, k].
+    """
+    num_nodes = channels.shape[0]
+    gy = _scale(g, dst_f)
+    # per transpose-order edge e': source v = t_edge_dst[e'], dest u = t_indices[e']
+    ch_e = jnp.take(channels, t_edge_dst, axis=0)            # [E, k]
+    rows = jnp.take(gy, t_indices, axis=0)                   # [E, dim]
+    m = jnp.take_along_axis(rows, ch_e, axis=-1)             # [E, k] sampled
+    dv = jax.ops.segment_sum(m, t_edge_dst, num_segments=num_nodes,
+                             indices_are_sorted=True)
+    return _scale(dv, src_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spgemm(dim, impl, values, channels, src_f, dst_f,
+            indices, edge_dst, t_indices, t_edge_dst):
+    return _spgemm_fwd(dim, impl, values, channels, src_f, dst_f,
+                       indices, edge_dst, t_indices, t_edge_dst)[0]
+
+
+def _spgemm_fwd(dim, impl, values, channels, src_f, dst_f,
+                indices, edge_dst, t_indices, t_edge_dst):
+    if impl in ("xla", "xla_dense", "auto"):
+        y = _spgemm_forward_xla(dim, values, channels, src_f, dst_f,
+                                indices, edge_dst)
+    elif impl == "pallas":
+        from spgemm_gnn_tpu.kernels import spgemm_pallas
+        y = spgemm_pallas.spgemm_forward(dim, values, channels, src_f, dst_f,
+                                         indices, edge_dst)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    res = (values, channels, src_f, dst_f, t_indices, t_edge_dst)
+    return y, res
+
+
+def _spgemm_bwd(dim, impl, res, g):
+    values, channels, src_f, dst_f, t_indices, t_edge_dst = res
+    if impl == "xla_dense":
+        # oracle path: dense transpose SpMM then sample at channels
+        gy = _scale(g, dst_f)
+        num_nodes = values.shape[0]
+        rows = jnp.take(gy, t_indices, axis=0)
+        z = jax.ops.segment_sum(rows, t_edge_dst, num_segments=num_nodes,
+                                indices_are_sorted=True)
+        z = _scale(z, src_f)
+        dv = jnp.take_along_axis(z, channels, axis=-1)
+    elif impl == "pallas":
+        from spgemm_gnn_tpu.kernels import spgemm_pallas
+        dv = spgemm_pallas.sspmm_backward(g, channels, src_f, dst_f,
+                                          t_indices, t_edge_dst)
+    else:
+        dv = _sspmm_backward_xla(g, channels, src_f, dst_f,
+                                 t_indices, t_edge_dst)
+    # cotangents: only `values` is differentiable
+    return (dv, None, None, None, None, None, None, None)
+
+
+_spgemm.defvjp(_spgemm_fwd, _spgemm_bwd)
+
+
+def aggregate_cbsr(g, values, channels, dim: int, norm: str = "sum",
+                   impl: str = "auto") -> jax.Array:
+    """Aggregate CBSR features over the graph: dense y = A_w @ cbsr(values, ch).
+
+    Args:
+      g: Graph.
+      values/channels: CBSR features from `ops.maxk_cbsr` (f32[N,k], i32[N,k]).
+      dim: dense output feature dimension (the original hidden dim).
+      norm: "sum" | "mean" | "gcn" (ops/norms.py).
+      impl: implementation selector; "auto" picks the best available.
+    """
+    src_f, dst_f = node_factors(g, norm)
+    return _spgemm(dim, impl, values, channels, src_f, dst_f,
+                   g.indices, g.edge_dst, g.t_indices, g.t_edge_dst)
+
+
+def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
+              impl: str = "auto") -> jax.Array:
+    """Aggregate node features over the graph.
+
+    If `k` is None, x is treated as dense and routed through the XLA SpMM
+    baseline. If `k` is given, x must already be k-sparse per row (MaxK output);
+    it is converted to CBSR and routed through the SpGEMM/SSpMM pair.
+    """
+    from spgemm_gnn_tpu.parallel.sharded import ShardedGraph, sharded_spmm
+    if isinstance(g, ShardedGraph):
+        return sharded_spmm(g, x, norm, k=k)
+    if k is None or k >= x.shape[-1]:
+        return _dense_spmm(g, x, norm)
+    # Recover CBSR from the masked-dense MaxK output: the support is the set of
+    # nonzero entries; top_k on the 0/1 indicator pads rows with <k nonzeros
+    # with arbitrary zero-valued channels (harmless).
+    indicator = (x != 0).astype(jnp.float32)
+    _, idx = jax.lax.top_k(indicator, k)
+    channels = jnp.sort(idx, axis=-1).astype(jnp.int32)
+    values = jnp.take_along_axis(x, channels, axis=-1)
+    return aggregate_cbsr(g, values, channels, x.shape[-1], norm, impl)

@@ -1,0 +1,168 @@
+"""Model families: SAGE / GCN / GIN / GNN_res — parity with the reference's
+`utils/models.py` (SAGE:109, GCN:240, GIN:363, GNN_res:486) plus the integrated
+kernel-first SAGE variant (`utils/integrated_models.py:8-66`).
+
+All models: lin_in → num_layers × (nonlinearity + message passing) → lin_out,
+with `nonlinear` ∈ {"maxk", "relu"}. With maxk, the aggregation input is k-sparse
+and routes through the CBSR SpGEMM/SSpMM kernel path.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spgemm_gnn_tpu.kernels.api import aggregate
+from spgemm_gnn_tpu.models.layers import (
+    SAGEConv, GraphConvAgg, GINAgg, xavier_uniform, xavier_uniform_relu,
+)
+from spgemm_gnn_tpu.ops.maxk import maxk
+
+
+class _Base(nn.Module):
+    hidden_dim: int = 256
+    num_layers: int = 3
+    out_dim: int = 1
+    maxk: int = 32
+    feat_drop: float = 0.5
+    use_norm: bool = False
+    nonlinear: str = "maxk"   # "maxk" | "relu"
+    impl: str = "auto"
+
+    def _nl(self, x):
+        """The per-layer nonlinearity; returns (activated, k_for_aggregation)."""
+        if self.nonlinear == "maxk":
+            return maxk(x, self.maxk), self.maxk
+        return nn.relu(x), None
+
+
+class SAGE(_Base):
+    """Reference utils/models.py:109-238: lin_in → [MaxK/ReLU → SAGEConv(mean,
+    feat_drop, LayerNorm?)] × L → lin_out. (No ReLU after lin_in.)"""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                     name="lin_in")(x)
+        for i in range(self.num_layers):
+            x, k = self._nl(x)
+            x = SAGEConv(self.hidden_dim, feat_drop=self.feat_drop,
+                         use_norm=self.use_norm, k_sparse=k, impl=self.impl,
+                         name=f"layer{i}")(g, x, train=train)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+class GCN(_Base):
+    """Reference utils/models.py:240-361: relu(lin_in) → [Linear → MaxK/ReLU →
+    Dropout → GraphConv(sym-norm, bias) → LayerNorm?] × L → lin_out."""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                             name="lin_in")(x))
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin{i}")(x)
+            x, k = self._nl(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+            x = GraphConvAgg(self.hidden_dim, k_sparse=k, impl=self.impl,
+                             name=f"conv{i}")(g, x, train=train)
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+class GIN(_Base):
+    """Reference utils/models.py:363-484: same wiring as GCN but with
+    GINConv(learn_eps=True) sum aggregation."""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                             name="lin_in")(x))
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin{i}")(x)
+            x, k = self._nl(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+            x = GINAgg(k_sparse=k, impl=self.impl, name=f"conv{i}")(
+                g, x, train=train)
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+class GNNRes(_Base):
+    """Residual GCN variant, reference utils/models.py:486-540: per layer —
+    res = Linear(x); x = GraphConv(x); BatchNorm?; Linear→ReLU→Drop→Linear;
+    x += res; ReLU; Drop. (ReLU-only: the reference ignores `nonlinear` here.)"""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                             name="lin_in")(x))
+        for i in range(self.num_layers):
+            res = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                           name=f"res{i}")(x)
+            x = GraphConvAgg(self.hidden_dim, impl=self.impl,
+                             name=f"conv{i}")(g, x, train=train)
+            if self.use_norm:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name=f"bn{i}")(x)
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin1_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin2_{i}")(x)
+            x = nn.relu(x + res)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+class MaxKSAGE(_Base):
+    """Integrated kernel-first SAGE (reference utils/integrated_models.py:8-66 +
+    utils/maxk_layers.py:47-265): per layer — h_self = fc_self(x);
+    h_neigh = fc_neigh(x); MaxK(h_neigh); mean-aggregate (SpGEMM);
+    out = h_self + agg; LayerNorm?; Dropout. No fc after aggregation."""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                     name="lin_in")(x)
+        for i in range(self.num_layers):
+            h_self = nn.Dense(self.hidden_dim, use_bias=False,
+                              kernel_init=xavier_uniform_relu,
+                              name=f"fc_self{i}")(x)
+            h_neigh = nn.Dense(self.hidden_dim, use_bias=False,
+                               kernel_init=xavier_uniform_relu,
+                               name=f"fc_neigh{i}")(x)
+            h_neigh, k = self._nl(h_neigh)
+            agg = aggregate(g, h_neigh, norm="mean", k=k, impl=self.impl)
+            x = h_self + agg
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+MODELS = {"sage": SAGE, "gcn": GCN, "gin": GIN, "gnn_res": GNNRes,
+          "sage_integrated": MaxKSAGE}
+
+
+def build_model(model: str, *, hidden_dim: int, num_layers: int, out_dim: int,
+                maxk: int = 32, feat_drop: float = 0.5, use_norm: bool = False,
+                nonlinear: str = "maxk", impl: str = "auto") -> nn.Module:
+    """Factory mirroring the reference driver's model dispatch
+    (maxk_gnn_dgl.py:291-298)."""
+    if model not in MODELS:
+        raise ValueError(f"unknown model {model!r}; expected one of "
+                         f"{sorted(MODELS)}")
+    return MODELS[model](hidden_dim=hidden_dim, num_layers=num_layers,
+                         out_dim=out_dim, maxk=maxk, feat_drop=feat_drop,
+                         use_norm=use_norm, nonlinear=nonlinear, impl=impl)

@@ -1,0 +1,57 @@
+"""MaxK nonlinearity and CBSR (Compressed Balanced Sparse Row) construction.
+
+Semantic spec: the reference's pure-PyTorch autograd function at
+`/root/reference/utils/models.py:12-26` — forward keeps the top-k values of each
+row of `x` along the hidden dim and zeroes the rest; backward multiplies the
+incoming gradient by the same binary mask.
+
+CBSR layout (reference `utils/maxk_layers.py:224-265` `_extract_sparse_format`,
+figure `images/maxk_forward.png`): per node, `values: f32[N, k]` and
+`channels: int[N, k]` — the k surviving channel indices and their values. The
+reference stores channels as uint8 (hidden dim ≤ 256); we keep int32 on device
+(TPU has no efficient sub-int32 gather arithmetic; HBM cost of the index array is
+k·4 bytes/node, still ≪ the dim·4 dense row) and order channels ascending so the
+dense↔CBSR mapping is canonical.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def maxk_mask(x: jax.Array, k: int) -> jax.Array:
+    """Binary mask of the top-k entries of each row of x (ties: lowest index)."""
+    if k >= x.shape[-1]:
+        return jnp.ones_like(x)
+    # kth largest value per row; mask = x >= kth, then correct ties so exactly k
+    # survive, matching torch.topk's lowest-index tie-breaking.
+    _, idx = jax.lax.top_k(x, k)
+    mask = jnp.zeros_like(x)
+    rows = jnp.arange(x.shape[0])[:, None]
+    return mask.at[rows, idx].set(1.0)
+
+
+def maxk(x: jax.Array, k: int) -> jax.Array:
+    """MaxK: y = x * topk_mask(x). Gradient: g * topk_mask(x) (mask is constant
+    wrt x, exactly the reference autograd Function's backward)."""
+    return x * jax.lax.stop_gradient(maxk_mask(x, k))
+
+
+def maxk_cbsr(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """MaxK → CBSR: returns (values f32[N,k], channels int32[N,k]).
+
+    Channels are sorted ascending per row (canonical CBSR). `values` carries the
+    gradient (a gather of x); `channels` is integer, no gradient.
+    """
+    _, idx = jax.lax.top_k(x, k)
+    channels = jnp.sort(idx, axis=-1).astype(jnp.int32)
+    values = jnp.take_along_axis(x, channels, axis=-1)
+    return values, channels
+
+
+def cbsr_to_dense(values: jax.Array, channels: jax.Array, dim: int) -> jax.Array:
+    """Scatter CBSR back to a dense [N, dim] array (zeros elsewhere)."""
+    n = values.shape[0]
+    out = jnp.zeros((n, dim), dtype=values.dtype)
+    rows = jnp.arange(n)[:, None]
+    return out.at[rows, channels].set(values)

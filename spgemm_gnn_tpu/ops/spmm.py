@@ -1,0 +1,42 @@
+"""XLA-native sparse aggregation (SpMM) — gather + sorted segment_sum.
+
+This is the cuSPARSE-role baseline (reference `kernels/spmm_cusparse.cu`,
+SURVEY.md §2.1): y[v] = Σ_{e=(u→v)} w_e · x[u], computed as a row gather over
+edges followed by a sorted segment sum into destinations. Entirely XLA — used as
+the ReLU-path aggregation, as the correctness oracle for the Pallas kernels, and
+as the fallback on non-TPU backends.
+
+All supported norms factor as w_e = src_f[src]·dst_f[dst], so they are applied
+as O(N·dim) pre/post scalings rather than O(E) per-edge multiplies.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spgemm_gnn_tpu.ops.norms import node_factors
+
+
+def _scale(x, f):
+    return x if f is None else x * f[:, None].astype(x.dtype)
+
+
+def _gather_segsum(indices, edge_dst, num_nodes, x):
+    msgs = jnp.take(x, indices, axis=0)
+    return jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes,
+                               indices_are_sorted=True)
+
+
+def spmm(g, x: jax.Array, norm: str = "sum") -> jax.Array:
+    """y[v] = Σ_{in-edges u→v} w_e · x[u] with w from `norm` (sum/mean/gcn)."""
+    src_f, dst_f = node_factors(g, norm)
+    y = _gather_segsum(g.indices, g.edge_dst, g.num_nodes, _scale(x, src_f))
+    return _scale(y, dst_f)
+
+
+def spmm_transpose(g, y: jax.Array, norm: str = "sum") -> jax.Array:
+    """z[u] = Σ_{out-edges u→v} w_e · y[v] — the adjoint of `spmm` (same edge
+    weights), used by backward passes."""
+    src_f, dst_f = node_factors(g, norm)
+    z = _gather_segsum(g.t_indices, g.t_edge_dst, g.num_nodes, _scale(y, dst_f))
+    return _scale(z, src_f)

@@ -1,0 +1,74 @@
+"""Multi-chip dry run: jit the FULL training step (model fwd + loss + backward +
+optimizer) over an n-device mesh with real graph-partition shardings and run one
+step on tiny shapes. Used by `__graft_entry__.dryrun_multichip` and the fake-mesh
+tests (SURVEY.md §4 implication (4)).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
+from spgemm_gnn_tpu.models.models import build_model
+from spgemm_gnn_tpu.parallel.mesh import make_mesh
+from spgemm_gnn_tpu.parallel.sharded import shard_graph
+from spgemm_gnn_tpu.train.losses import masked_softmax_ce
+from spgemm_gnn_tpu.train.optim import build_optimizer
+
+
+def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
+               feat: int = 32, hidden: int = 64, classes: int = 8,
+               k: int = 8, layers: int = 2, seed: int = 0) -> float:
+    """Build a tiny sharded training problem and execute one optimizer step.
+
+    Returns the (finite) loss value as a basic sanity check.
+    """
+    mesh = make_mesh(n_devices)
+    g = powerlaw_graph(n_nodes, n_edges, seed=seed)
+    sg = shard_graph(g, mesh)
+    n_pad = sg.padded_nodes
+
+    rng = np.random.default_rng(seed)
+    feats = np.zeros((n_pad, feat), np.float32)
+    feats[:g.num_nodes] = rng.standard_normal((g.num_nodes, feat))
+    labels = np.zeros(n_pad, np.int64)
+    labels[:g.num_nodes] = rng.integers(0, classes, g.num_nodes)
+    mask = np.zeros(n_pad, bool)
+    mask[:g.num_nodes] = rng.random(g.num_nodes) < 0.7
+
+    node_sh = sg.node_sharding()
+    repl = sg.replicated()
+    x = jax.device_put(feats, node_sh)
+    y = jax.device_put(labels, node_sh)
+    m = jax.device_put(mask, node_sh)
+
+    model = build_model("sage", hidden_dim=hidden, num_layers=layers,
+                        out_dim=classes, maxk=k, feat_drop=0.0,
+                        nonlinear="maxk", impl="auto")
+    variables = model.init(jax.random.PRNGKey(seed), sg, x, train=False)
+    params = jax.device_put(variables["params"], repl)
+    tx = build_optimizer(0.01)
+    opt_state = jax.device_put(tx.init(params), repl)
+
+    def train_step(params, opt_state, x, y, m):
+        def loss_of(p):
+            logits = model.apply({"params": p}, sg, x, train=False)
+            return masked_softmax_ce(logits, y, m)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    step = jax.jit(
+        train_step,
+        in_shardings=(repl, repl, node_sh, node_sh, node_sh),
+        out_shardings=(repl, repl, repl),
+    )
+    params, opt_state, loss = step(params, opt_state, x, y, m)
+    loss_val = float(loss)
+    assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
+    return loss_val

@@ -1,0 +1,102 @@
+"""Training configuration — dataclass + CLI mirror of the reference's argparse
+`TrainConfig` (`/root/reference/utils/config.py:30-71`), with TPU-framework
+additions (impl selector, eval cadence, checkpointing, mesh shape).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any
+
+from spgemm_gnn_tpu.graphs.datasets import DATASETS
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # --- reference flags (utils/config.py:33-63) ---
+    dataset: str = "yelp"
+    data_path: str = "./data/"
+    model: str = "sage"                  # sage | gcn | gin | gnn_res | sage_integrated
+    selfloop: bool = False
+    epochs: int = 1000
+    w_lr: float = 0.01
+    w_weight_decay: float = 0.0
+    enable_lookahead: bool = False
+    hidden_dim: int = 256
+    hidden_layers: int = 3
+    nonlinear: str = "maxk"              # maxk | relu
+    maxk: int = 32
+    dropout: float = 0.5
+    norm: bool = False
+    seed: int = 97
+    evaluate: str | None = None          # checkpoint path → eval only
+    path: str = "./run/"                 # output dir (logs, checkpoints, TB)
+    # --- TPU-framework additions ---
+    impl: str = "auto"                   # aggregation impl: auto|xla|xla_dense|pallas
+    eval_every: int = 1                  # reference evaluates every epoch (§7.3)
+    checkpoint_every: int = 0            # 0 = only final/best
+    resume: bool = False
+    dtype: str = "float32"               # compute dtype for features/activations
+    synthetic: bool = False              # allow synthetic stand-in datasets
+    synthetic_scale: float = 1.0
+    mesh_shape: int = 1                  # number of devices for data layout
+    log_every: int = 1
+    tensorboard: bool = False
+
+    def print_params(self, prtf=print) -> None:
+        prtf("")
+        prtf("Parameters:")
+        for f in sorted(dataclasses.fields(self), key=lambda f: f.name):
+            prtf(f"{f.name.upper()}={getattr(self, f.name)}")
+        prtf("")
+
+    def as_markdown(self) -> str:
+        text = "|name|value|  \n|-|-|  \n"
+        for f in sorted(dataclasses.fields(self), key=lambda f: f.name):
+            text += f"|{f.name}|{getattr(self, f.name)}|  \n"
+        return text
+
+    def replace(self, **kw: Any) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "MaxK-GNN TPU training",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    d = TrainConfig()
+    p.add_argument("--dataset", default=d.dataset, choices=list(DATASETS))
+    p.add_argument("--data_path", default=d.data_path)
+    p.add_argument("--model", default=d.model,
+                   choices=["sage", "gcn", "gin", "gnn_res", "sage_integrated"])
+    p.add_argument("--selfloop", action="store_true")
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--w_lr", type=float, default=d.w_lr)
+    p.add_argument("--w_weight_decay", type=float, default=d.w_weight_decay)
+    p.add_argument("--enable_lookahead", action="store_true")
+    p.add_argument("--hidden_dim", type=int, default=d.hidden_dim)
+    p.add_argument("--hidden_layers", type=int, default=d.hidden_layers)
+    p.add_argument("--nonlinear", default=d.nonlinear, choices=["maxk", "relu"])
+    p.add_argument("--maxk", type=int, default=d.maxk)
+    p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--norm", action="store_true")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("-e", "--evaluate", default=None, metavar="PATH")
+    p.add_argument("--path", default=d.path, metavar="PATH")
+    p.add_argument("--impl", default=d.impl,
+                   choices=["auto", "xla", "xla_dense", "pallas"])
+    p.add_argument("--eval_every", type=int, default=d.eval_every)
+    p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dtype", default=d.dtype)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_scale", type=float, default=d.synthetic_scale)
+    p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
+    p.add_argument("--log_every", type=int, default=d.log_every)
+    p.add_argument("--tensorboard", action="store_true")
+    return p
+
+
+def from_args(argv=None) -> TrainConfig:
+    args = build_parser().parse_args(argv)
+    return TrainConfig(**vars(args))

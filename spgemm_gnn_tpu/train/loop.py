@@ -1,0 +1,190 @@
+"""Full-graph training loop — the TPU re-design of the reference driver
+(`/root/reference/maxk_gnn_dgl.py:78-153` train(), :39-76 evaluate_masks()).
+
+Differences from the reference, by design (SURVEY.md §7.3/§7.4):
+- train step and eval step are separately jitted, buffers donated;
+- evaluation cadence is a flag (`eval_every`) instead of a hard-wired second
+  full forward every epoch;
+- metrics (accuracy / micro-F1 / ROC-AUC) are computed on device;
+- timing uses explicit wall timers around blocking device calls, not
+  monkey-patched module methods;
+- best-val-selects-test protocol is identical (maxk_gnn_dgl.py:135-137).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spgemm_gnn_tpu.graphs.datasets import Dataset, load_dataset
+from spgemm_gnn_tpu.models.models import build_model
+from spgemm_gnn_tpu.train.config import TrainConfig
+from spgemm_gnn_tpu.train.losses import loss_fn
+from spgemm_gnn_tpu.train.metrics import micro_f1, rocauc_jax
+from spgemm_gnn_tpu.train.optim import build_optimizer
+from spgemm_gnn_tpu.utils.logging import get_logger
+
+
+@dataclasses.dataclass
+class EpochRecord:
+    epoch: int
+    loss: float
+    train_acc: float
+    val_acc: float
+    test_acc: float
+
+
+class Trainer:
+    """Owns the jitted train/eval steps for one (config, dataset) pair."""
+
+    def __init__(self, config: TrainConfig, dataset: Dataset | None = None,
+                 logger=None):
+        self.config = config
+        self.logger = logger or get_logger(None)
+        if dataset is None:
+            dataset = load_dataset(
+                config.dataset, config.data_path, self_loop=config.selfloop,
+                allow_synthetic=config.synthetic,
+                synthetic_scale=config.synthetic_scale, seed=config.seed)
+        self.dataset = dataset
+        self.g = dataset.graph
+        dtype = jnp.dtype(config.dtype)
+        self.features = jnp.asarray(dataset.features, dtype)
+        self.labels = jnp.asarray(dataset.labels)
+        self.masks = tuple(jnp.asarray(m) for m in
+                           (dataset.train_mask, dataset.val_mask,
+                            dataset.test_mask))
+        self.model = build_model(
+            config.model, hidden_dim=config.hidden_dim,
+            num_layers=config.hidden_layers, out_dim=dataset.num_classes,
+            maxk=config.maxk, feat_drop=config.dropout, use_norm=config.norm,
+            nonlinear=config.nonlinear, impl=config.impl)
+        self.tx = build_optimizer(config.w_lr, config.w_weight_decay,
+                                  config.enable_lookahead)
+        self._loss = loss_fn(dataset.multilabel)
+        self._use_rocauc = dataset.name == "ogbn-proteins"
+        self._build_steps()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, seed: int | None = None):
+        seed = self.config.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        variables = self.model.init({"params": rng}, self.g, self.features,
+                                    train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return {"params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _build_steps(self):
+        model, g = self.model, self.g
+        features, labels = self.features, self.labels
+        train_mask, val_mask, test_mask = self.masks
+        loss_f = self._loss
+        use_rocauc = self._use_rocauc
+        tx = self.tx
+
+        def train_step(state, dropout_rng):
+            def loss_of(params):
+                variables = {"params": params}
+                if state["batch_stats"]:
+                    variables["batch_stats"] = state["batch_stats"]
+                    logits, new_vars = model.apply(
+                        variables, g, features, train=True,
+                        rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                else:
+                    logits = model.apply(variables, g, features, train=True,
+                                         rngs={"dropout": dropout_rng})
+                    new_vars = {}
+                return loss_f(logits, labels, train_mask), new_vars
+
+            (loss, new_vars), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state["params"])
+            updates, opt_state = tx.update(grads, state["opt_state"],
+                                           state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": params,
+                "batch_stats": new_vars.get("batch_stats",
+                                            state["batch_stats"]),
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            return new_state, loss
+
+        def eval_step(params, batch_stats):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = model.apply(variables, g, features, train=False)
+            if use_rocauc:
+                metric = lambda m: rocauc_jax(logits, labels, m)
+            else:
+                metric = lambda m: micro_f1(logits, labels, m)
+            return metric(train_mask), metric(val_mask), metric(test_mask)
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+    # -- driver --------------------------------------------------------------
+
+    def run(self, epochs: int | None = None,
+            on_epoch: Callable[[EpochRecord], None] | None = None
+            ) -> dict[str, Any]:
+        cfg = self.config
+        epochs = cfg.epochs if epochs is None else epochs
+        state = self.init_state()
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        best_val, best_test, best_epoch = 0.0, 0.0, -1
+        history: list[EpochRecord] = []
+
+        t_start = time.perf_counter()
+        for epoch in range(epochs):
+            rng, dr = jax.random.split(rng)
+            state, loss = self.train_step(state, dr)
+            if cfg.eval_every and (epoch % cfg.eval_every == 0
+                                   or epoch == epochs - 1):
+                tr, va, te = self.eval_step(state["params"],
+                                            state["batch_stats"])
+                loss, tr, va, te = (float(loss), float(tr), float(va),
+                                    float(te))
+                if va > best_val:
+                    best_val, best_test, best_epoch = va, te, epoch
+                rec = EpochRecord(epoch, loss, tr, va, te)
+                history.append(rec)
+                if on_epoch is not None:
+                    on_epoch(rec)
+                if cfg.log_every and epoch % cfg.log_every == 0:
+                    self.logger.info(
+                        "Epoch %04d/%04d| Loss %.4f | Train Accuracy %.4f | "
+                        "Val Accuracy %.4f | Test Accuracy %.4f | "
+                        "Best val. Accuracy %.4f | Best test Accuracy %.4f",
+                        epoch, epochs, loss, tr, va, te, best_val, best_test)
+        jax.block_until_ready(state["params"])
+        wall = time.perf_counter() - t_start
+
+        return {
+            "best_val_accuracy": best_val,
+            "best_test_accuracy": best_test,
+            "best_epoch": best_epoch,
+            "history": history,
+            "wall_time_s": wall,
+            "final_state": state,
+        }
+
+
+def train_and_evaluate(config: TrainConfig, dataset: Dataset | None = None,
+                       logger=None) -> dict[str, Any]:
+    """One-call training run (the `python maxk_gnn_dgl.py ...` equivalent)."""
+    trainer = Trainer(config, dataset, logger)
+    return trainer.run()

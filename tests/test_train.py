@@ -1,0 +1,66 @@
+"""End-to-end training smoke tests on tiny synthetic datasets: loss decreases,
+accuracy beats chance, best-val protocol, and maxk vs relu paths both run."""
+import numpy as np
+import pytest
+
+from spgemm_gnn_tpu.graphs.datasets import load_dataset
+from spgemm_gnn_tpu.train.config import TrainConfig
+from spgemm_gnn_tpu.train.loop import Trainer
+
+
+def tiny_config(**kw):
+    base = dict(dataset="flickr", model="sage", epochs=30, hidden_dim=32,
+                hidden_layers=2, maxk=8, dropout=0.1, w_lr=0.01,
+                nonlinear="relu", impl="xla", synthetic=True,
+                synthetic_scale=0.004, eval_every=5, log_every=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+@pytest.mark.parametrize("nonlinear", ["relu", "maxk"])
+def test_sage_trains_on_synthetic_flickr(nonlinear):
+    # tiny synthetic graphs don't generalise (random split, planted signal
+    # destroyed by aggregation) — assert fit capability via train accuracy.
+    cfg = tiny_config(nonlinear=nonlinear, epochs=80, dropout=0.0)
+    tr = Trainer(cfg)
+    res = tr.run()
+    hist = res["history"]
+    assert len(hist) >= 3
+    assert hist[-1].loss < hist[0].loss  # learning happened
+    assert hist[-1].train_acc > 0.8      # model can fit the train split
+    assert 0 <= res["best_epoch"] < cfg.epochs
+
+
+@pytest.mark.parametrize("model", ["gcn", "gin", "gnn_res", "sage_integrated"])
+def test_other_models_train(model):
+    cfg = tiny_config(model=model, nonlinear="maxk", norm=True, epochs=15)
+    res = Trainer(cfg).run()
+    assert res["history"][-1].loss < res["history"][0].loss
+
+
+def test_multilabel_yelp_synthetic():
+    cfg = tiny_config(dataset="yelp", synthetic_scale=0.0006, epochs=15,
+                      nonlinear="maxk")
+    tr = Trainer(cfg)
+    assert tr.dataset.multilabel
+    res = tr.run()
+    assert res["best_test_accuracy"] > 0  # micro-F1 positive
+
+
+def test_lookahead_and_weight_decay_run():
+    cfg = tiny_config(enable_lookahead=True, w_weight_decay=1e-4, epochs=10)
+    res = Trainer(cfg).run()
+    assert np.isfinite(res["history"][-1].loss)
+
+
+def test_selfloop_flag():
+    cfg = tiny_config(selfloop=True, epochs=5)
+    tr = Trainer(cfg)
+    g = tr.g
+    # every node has a self-loop
+    import numpy as np
+    a_src = np.asarray(g.indices)
+    a_dst = np.asarray(g.edge_dst)
+    loops = np.zeros(g.num_nodes, bool)
+    loops[a_src[a_src == a_dst]] = True
+    assert loops.all()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Training CLI — the `python maxk_gnn_dgl.py --dataset ... --model ...`
+equivalent (reference driver at /root/reference/maxk_gnn_dgl.py:199-310).
+
+Examples:
+  python train.py --dataset flickr --model sage --nonlinear relu --epochs 400
+  python train.py --dataset reddit --model sage --nonlinear maxk --maxk 32 \
+      --hidden_layers 4 --hidden_dim 256 --dropout 0.5 --norm --w_lr 0.01
+  python train.py --dataset flickr --synthetic --epochs 50   # no data files
+"""
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    from spgemm_gnn_tpu.train.config import from_args
+    config = from_args(argv)
+
+    os.makedirs(config.path, exist_ok=True)
+    from spgemm_gnn_tpu.utils.logging import get_logger
+    logger = get_logger(os.path.join(config.path, f"{config.dataset}.log"))
+    config.print_params(logger.info)
+
+    writer = None
+    if config.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=os.path.join(config.path, "tb"))
+            writer.add_text("config", config.as_markdown(), 0)
+        except ImportError:
+            logger.info("tensorboard unavailable; skipping TB logging")
+
+    from spgemm_gnn_tpu.train.loop import Trainer
+    trainer = Trainer(config, logger=logger)
+    logger.info("Training...")
+
+    def on_epoch(rec):
+        if writer is not None:
+            writer.add_scalar("train/loss", rec.loss, rec.epoch)
+            writer.add_scalar("train/train_acc", rec.train_acc, rec.epoch)
+            writer.add_scalar("train/val_acc", rec.val_acc, rec.epoch)
+            writer.add_scalar("train/test_acc", rec.test_acc, rec.epoch)
+
+    results = trainer.run(on_epoch=on_epoch)
+    logger.info("Best val accuracy: %.4f (epoch %d)",
+                results["best_val_accuracy"], results["best_epoch"])
+    logger.info("Best test accuracy: %.4f", results["best_test_accuracy"])
+    logger.info("Total training time: %.1fs", results["wall_time_s"])
+
+    summary = {k: results[k] for k in
+               ("best_val_accuracy", "best_test_accuracy", "best_epoch",
+                "wall_time_s")}
+    with open(os.path.join(config.path, "results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if writer is not None:
+        writer.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()
