@@ -1,0 +1,213 @@
+// graphcore — native graph preprocessing for spgemm-gnn-tpu.
+//
+// TPU-native replacement for the reference's native graph plumbing: the C++
+// harness's binary graph loading (`cuda_read_array<T>` in kernels/spmm_base.h,
+// SURVEY.md §2.1 [bin]) and the warp-partition metadata generator
+// (`kernels/generate_meta.py` → `.warp4` files). Here the outputs are CSR
+// arrays and TilePlans consumed by the Pallas kernels; Python binds via ctypes
+// (graphs/native.py) with a pure-numpy fallback.
+//
+// Build: native/build.sh (g++ -O3 -shared -fPIC).
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR construction: sort edges by (dst, src), fill indptr/indices/edge_dst.
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+int gc_build_csr(int64_t num_edges, const int64_t* src, const int64_t* dst,
+                 int64_t num_nodes, int32_t* indptr /*[N+1]*/,
+                 int32_t* indices /*[E]*/, int32_t* edge_dst /*[E]*/) {
+  std::vector<int64_t> cnt(num_nodes + 1, 0);
+  for (int64_t e = 0; e < num_edges; ++e) cnt[dst[e] + 1]++;
+  std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
+  for (int64_t v = 0; v <= num_nodes; ++v) indptr[v] = (int32_t)cnt[v];
+
+  // bucket by dst (stable), then sort each row's sources
+  std::vector<int64_t> pos(cnt.begin(), cnt.end() - 1);
+  std::vector<int32_t> tmp(num_edges);
+  for (int64_t e = 0; e < num_edges; ++e) tmp[pos[dst[e]]++] = (int32_t)src[e];
+  for (int64_t v = 0; v < num_nodes; ++v)
+    std::sort(tmp.data() + cnt[v], tmp.data() + cnt[v + 1]);
+  std::memcpy(indices, tmp.data(), num_edges * sizeof(int32_t));
+  for (int64_t v = 0; v < num_nodes; ++v)
+    for (int64_t e = cnt[v]; e < cnt[v + 1]; ++e) edge_dst[e] = (int32_t)v;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Degrees from an edge list.
+// ---------------------------------------------------------------------------
+int gc_degrees(int64_t num_edges, const int32_t* indices,
+               const int32_t* edge_dst, int64_t num_nodes,
+               int32_t* in_deg, int32_t* out_deg) {
+  std::fill(in_deg, in_deg + num_nodes, 0);
+  std::fill(out_deg, out_deg + num_nodes, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    in_deg[edge_dst[e]]++;
+    out_deg[indices[e]]++;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Tile planning (see graphs/tiles.py for the layout contract).
+//
+// Internal state between the count and fill passes.
+// ---------------------------------------------------------------------------
+namespace {
+struct PlanState {
+  std::vector<int64_t> order;        // permutation: sorted edge order
+  std::vector<int64_t> chunk_start, chunk_end;   // per chunk, in sorted order
+  std::vector<int64_t> tile_first_chunk, tile_nchunks;
+  std::vector<int32_t> tile_dblk;    // dst block per tile (incl. empty blocks)
+  std::vector<int64_t> dst_of;       // dst row per (original CSR) edge
+  int64_t S, C, RW, n_dst_blocks, n_src_blocks, E;
+};
+PlanState g_state;   // single-threaded planner; one plan in flight at a time
+}  // namespace
+
+// Pass 1: compute the plan structure; returns W (tile count) or -1 on error.
+int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
+                      int64_t num_nodes, int64_t S, int64_t C, int64_t RW) {
+  if (S % C) return -1;
+  PlanState& st = g_state;
+  st = PlanState();
+  st.S = S; st.C = C; st.RW = RW;
+  int64_t E = indptr[num_nodes];
+  st.E = E;
+  int64_t nb = std::max<int64_t>((num_nodes + S - 1) / S, 1);
+  st.n_dst_blocks = nb;
+  st.n_src_blocks = nb;
+
+  // dst row per edge
+  st.dst_of.resize(E);
+  for (int64_t v = 0; v < num_nodes; ++v)
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) st.dst_of[e] = v;
+
+  // stable counting sort per dst block on src_block (edges already sorted by
+  // (dst, src) inside the CSR ⇒ stable sort yields (dst_blk, src_blk, dst, src))
+  st.order.resize(E);
+  std::vector<int64_t> cnt;
+  for (int64_t db = 0; db < nb; ++db) {
+    int64_t vlo = db * S, vhi = std::min(num_nodes, (db + 1) * S);
+    int64_t elo = indptr[vlo], ehi = indptr[vhi];
+    cnt.assign(nb + 1, 0);
+    for (int64_t e = elo; e < ehi; ++e) cnt[indices[e] / S + 1]++;
+    std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
+    for (int64_t e = elo; e < ehi; ++e) {
+      int64_t sb = indices[e] / S;
+      st.order[elo + cnt[sb]++] = e;
+    }
+  }
+
+  // greedy chunking within (dst_blk, src_blk) bucket runs
+  auto bucket_of = [&](int64_t p) {
+    int64_t e = st.order[p];
+    return (st.dst_of[e] / S) * nb + indices[e] / S;
+  };
+  int64_t p = 0;
+  std::vector<char> block_present(nb, 0);
+  while (p < E) {
+    int64_t b = bucket_of(p);
+    int64_t re = p;
+    while (re < E && bucket_of(re) == b) ++re;
+    // chunk [p, re)
+    while (p < re) {
+      int64_t row0 = st.dst_of[st.order[p]];
+      int64_t q = p;
+      int64_t qmax = std::min(p + C, re);
+      while (q < qmax && st.dst_of[st.order[q]] < row0 + RW) ++q;
+      st.chunk_start.push_back(p);
+      st.chunk_end.push_back(q);
+      p = q;
+    }
+  }
+
+  // pack chunks into tiles (same bucket, ≤ S/C chunks)
+  int64_t cpt = S / C;
+  int64_t nchunks = (int64_t)st.chunk_start.size();
+  int64_t ci = 0;
+  while (ci < nchunks) {
+    int64_t b = bucket_of(st.chunk_start[ci]);
+    int64_t first = ci, n = 0;
+    while (ci < nchunks && n < cpt && bucket_of(st.chunk_start[ci]) == b) {
+      ++ci; ++n;
+    }
+    st.tile_first_chunk.push_back(first);
+    st.tile_nchunks.push_back(n);
+    int32_t dblk = (int32_t)(st.dst_of[st.order[st.chunk_start[first]]] / S);
+    st.tile_dblk.push_back(dblk);
+    block_present[dblk] = 1;
+  }
+  // empty dst blocks still need a (zero) tile
+  for (int64_t b = 0; b < nb; ++b)
+    if (!block_present[b]) {
+      st.tile_first_chunk.push_back(-1);
+      st.tile_nchunks.push_back(0);
+      st.tile_dblk.push_back((int32_t)b);
+    }
+  // sort tiles by dst block (stable — preserves bucket order within)
+  int64_t W = (int64_t)st.tile_dblk.size();
+  std::vector<int64_t> tidx(W);
+  std::iota(tidx.begin(), tidx.end(), 0);
+  std::stable_sort(tidx.begin(), tidx.end(), [&](int64_t a, int64_t b2) {
+    return st.tile_dblk[a] < st.tile_dblk[b2];
+  });
+  std::vector<int64_t> fc(W), nc(W);
+  std::vector<int32_t> db2(W);
+  for (int64_t i = 0; i < W; ++i) {
+    fc[i] = st.tile_first_chunk[tidx[i]];
+    nc[i] = st.tile_nchunks[tidx[i]];
+    db2[i] = st.tile_dblk[tidx[i]];
+  }
+  st.tile_first_chunk.swap(fc);
+  st.tile_nchunks.swap(nc);
+  st.tile_dblk.swap(db2);
+  return W;
+}
+
+// Pass 2: fill the plan arrays (sized W, W, W*S, W*S, W*S).
+int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
+                 int32_t* e_src_local, int32_t* e_dst_local, float* e_mask) {
+  PlanState& st = g_state;
+  int64_t W = (int64_t)st.tile_dblk.size();
+  int64_t S = st.S, C = st.C;
+  std::fill(e_src_local, e_src_local + W * S, 0);
+  std::fill(e_dst_local, e_dst_local + W * S, 0);
+  std::fill(e_mask, e_mask + W * S, 0.f);
+  for (int64_t w = 0; w < W; ++w) {
+    ws_dst[w] = st.tile_dblk[w];
+    ws_src[w] = 0;
+    if (st.tile_nchunks[w] == 0) continue;
+    int64_t fc = st.tile_first_chunk[w];
+    int64_t e0 = st.order[st.chunk_start[fc]];
+    int32_t sblk = indices[e0] / (int32_t)S;
+    ws_src[w] = sblk;
+    for (int64_t ci = 0; ci < st.tile_nchunks[w]; ++ci) {
+      int64_t cs = st.chunk_start[fc + ci], ce = st.chunk_end[fc + ci];
+      int64_t base = w * S + ci * C;
+      int64_t row0 = st.dst_of[st.order[cs]] - (int64_t)ws_dst[w] * S;
+      for (int64_t j = 0; j < C; ++j) {
+        if (cs + j < ce) {
+          int64_t e = st.order[cs + j];
+          e_src_local[base + j] = indices[e] - sblk * (int32_t)S;
+          e_dst_local[base + j] =
+              (int32_t)(st.dst_of[e] - (int64_t)ws_dst[w] * S);
+          e_mask[base + j] = 1.f;
+        } else {
+          e_dst_local[base + j] = (int32_t)row0;   // window-start padding
+        }
+      }
+    }
+  }
+  g_state = PlanState();   // release memory
+  return 0;
+}
+
+}  // extern "C"

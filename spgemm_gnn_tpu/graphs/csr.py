@@ -83,13 +83,24 @@ def from_edges(src, dst, num_nodes: int, *, symmetric: bool | None = None,
         raise ValueError("src/dst length mismatch")
     E = src.shape[0]
 
-    # in-CSR: sort by (dst, src) — np.lexsort is the host-side analogue of the
-    # reference's generate_meta.py preprocessing step.
-    key = dst * num_nodes + src if sort_neighbors else dst
-    order = np.argsort(key, kind="stable")
-    dst_s, src_s = dst[order], src[order]
-    indptr, indices = _csr_from_sorted(dst_s, src_s, num_nodes)
-    edge_dst = dst_s.astype(np.int32)
+    # in-CSR: sort by (dst, src). Native fast path (graphcore.cpp) when built;
+    # numpy lexsort otherwise — the host-side analogue of the reference's
+    # generate_meta.py preprocessing step.
+    built = None
+    if sort_neighbors:
+        from spgemm_gnn_tpu.graphs import native
+        if native.available():
+            built = native.build_csr(src, dst, num_nodes)
+    if built is not None:
+        indptr, indices, edge_dst = built
+        dst_s = edge_dst.astype(np.int64)
+        src_s = indices.astype(np.int64)
+    else:
+        key = dst * num_nodes + src if sort_neighbors else dst
+        order = np.argsort(key, kind="stable")
+        dst_s, src_s = dst[order], src[order]
+        indptr, indices = _csr_from_sorted(dst_s, src_s, num_nodes)
+        edge_dst = dst_s.astype(np.int32)
 
     in_deg = np.diff(indptr).astype(np.int32)
     out_deg = np.bincount(src, minlength=num_nodes).astype(np.int32)

@@ -1,0 +1,111 @@
+"""ctypes binding for the native graph core (native/graphcore.cpp).
+
+Auto-builds the shared library on first use when g++ is available; every entry
+point has a pure-numpy fallback, so the native layer is an accelerator, never a
+requirement. (This is the framework's analogue of the reference's C++
+graph-loading/metadata layer — SURVEY.md §2.1 rows `spmm_base.h` /
+`generate_meta.py`.)
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libgraphcore.so")
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "graphcore.cpp")
+            if not os.path.exists(src):
+                _LIB = False
+                return False
+            try:
+                subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                _LIB = False
+                return False
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _LIB = False
+            return False
+        lib.gc_build_csr.restype = ctypes.c_int
+        lib.gc_build_csr.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                     ctypes.c_int64, _i32p, _i32p, _i32p]
+        lib.gc_degrees.restype = ctypes.c_int
+        lib.gc_degrees.argtypes = [ctypes.c_int64, _i32p, _i32p,
+                                   ctypes.c_int64, _i32p, _i32p]
+        lib.gc_plan_count.restype = ctypes.c_int64
+        lib.gc_plan_count.argtypes = [_i64p, _i32p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64]
+        lib.gc_plan_fill.restype = ctypes.c_int
+        lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i32p, _f32p]
+        _LIB = lib
+        return lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
+    """Sorted CSR from an edge list. Returns (indptr, indices, edge_dst) or
+    None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    e = src.shape[0]
+    indptr = np.empty(num_nodes + 1, np.int32)
+    indices = np.empty(e, np.int32)
+    edge_dst = np.empty(e, np.int32)
+    rc = lib.gc_build_csr(e, src, dst, num_nodes, indptr, indices, edge_dst)
+    if rc != 0:
+        return None
+    return indptr, indices, edge_dst
+
+
+def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
+                      num_nodes: int, S: int, C: int, RW: int):
+    """Native tile planning. Returns (ws_dst, ws_src, e_src_local, e_dst_local,
+    e_mask) or None. Output is bit-identical to the Python planner."""
+    lib = _load()
+    if not lib:
+        return None
+    indptr64 = np.ascontiguousarray(indptr, np.int64)
+    indices32 = np.ascontiguousarray(indices, np.int32)
+    with _LOCK:   # planner keeps state between the two passes
+        w = lib.gc_plan_count(indptr64, indices32, num_nodes, S, C, RW)
+        if w < 0:
+            return None
+        ws_dst = np.empty(w, np.int32)
+        ws_src = np.empty(w, np.int32)
+        e_src = np.empty((w, S), np.int32)
+        e_dst = np.empty((w, S), np.int32)
+        e_mask = np.empty((w, S), np.float32)
+        rc = lib.gc_plan_fill(indices32, ws_dst, ws_src,
+                              e_src.reshape(-1), e_dst.reshape(-1),
+                              e_mask.reshape(-1))
+    if rc != 0:
+        return None
+    return ws_dst, ws_src, e_src, e_dst, e_mask

@@ -64,29 +64,32 @@ def _sspmm_backward_xla(g, channels, src_f, dst_f, t_indices, t_edge_dst):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _spgemm(dim, impl, values, channels, src_f, dst_f,
-            indices, edge_dst, t_indices, t_edge_dst):
+            indices, edge_dst, t_indices, t_edge_dst, plans):
     return _spgemm_fwd(dim, impl, values, channels, src_f, dst_f,
-                       indices, edge_dst, t_indices, t_edge_dst)[0]
+                       indices, edge_dst, t_indices, t_edge_dst, plans)[0]
 
 
 def _spgemm_fwd(dim, impl, values, channels, src_f, dst_f,
-                indices, edge_dst, t_indices, t_edge_dst):
-    if impl in ("xla", "xla_dense", "auto"):
+                indices, edge_dst, t_indices, t_edge_dst, plans):
+    if impl == "pallas":
+        from spgemm_gnn_tpu.kernels import planned
+        y = planned.spgemm_forward(dim, values, channels, src_f, dst_f, plans)
+    elif impl in ("xla", "xla_dense", "auto"):
         y = _spgemm_forward_xla(dim, values, channels, src_f, dst_f,
                                 indices, edge_dst)
-    elif impl == "pallas":
-        from spgemm_gnn_tpu.kernels import spgemm_pallas
-        y = spgemm_pallas.spgemm_forward(dim, values, channels, src_f, dst_f,
-                                         indices, edge_dst)
     else:
         raise ValueError(f"unknown impl {impl!r}")
-    res = (values, channels, src_f, dst_f, t_indices, t_edge_dst)
+    res = (values, channels, src_f, dst_f, t_indices, t_edge_dst, plans)
     return y, res
 
 
 def _spgemm_bwd(dim, impl, res, g):
-    values, channels, src_f, dst_f, t_indices, t_edge_dst = res
-    if impl == "xla_dense":
+    values, channels, src_f, dst_f, t_indices, t_edge_dst, plans = res
+    if impl == "pallas":
+        from spgemm_gnn_tpu.kernels import planned
+        dv = planned.sspmm_backward(g, channels, src_f, dst_f, plans)
+        dv = dv.astype(values.dtype)
+    elif impl == "xla_dense":
         # oracle path: dense transpose SpMM then sample at channels
         gy = _scale(g, dst_f)
         num_nodes = values.shape[0]
@@ -95,15 +98,11 @@ def _spgemm_bwd(dim, impl, res, g):
                                 indices_are_sorted=True)
         z = _scale(z, src_f)
         dv = jnp.take_along_axis(z, channels, axis=-1)
-    elif impl == "pallas":
-        from spgemm_gnn_tpu.kernels import spgemm_pallas
-        dv = spgemm_pallas.sspmm_backward(g, channels, src_f, dst_f,
-                                          t_indices, t_edge_dst)
     else:
         dv = _sspmm_backward_xla(g, channels, src_f, dst_f,
                                  t_indices, t_edge_dst)
     # cotangents: only `values` is differentiable
-    return (dv, None, None, None, None, None, None, None)
+    return (dv, None, None, None, None, None, None, None, None)
 
 
 _spgemm.defvjp(_spgemm_fwd, _spgemm_bwd)
@@ -114,15 +113,24 @@ def aggregate_cbsr(g, values, channels, dim: int, norm: str = "sum",
     """Aggregate CBSR features over the graph: dense y = A_w @ cbsr(values, ch).
 
     Args:
-      g: Graph.
+      g: Graph or PlannedGraph (required for impl="pallas").
       values/channels: CBSR features from `ops.maxk_cbsr` (f32[N,k], i32[N,k]).
       dim: dense output feature dimension (the original hidden dim).
       norm: "sum" | "mean" | "gcn" (ops/norms.py).
       impl: implementation selector; "auto" picks the best available.
     """
+    from spgemm_gnn_tpu.kernels.planned import PlannedGraph
+    plans = None
+    if isinstance(g, PlannedGraph):
+        plans = (g.fwd_plan, g.bwd_plan)
+        if impl == "auto":
+            impl = "pallas"
+    if impl == "pallas" and plans is None:
+        raise ValueError("impl='pallas' requires a PlannedGraph "
+                         "(kernels.planned.plan_graph)")
     src_f, dst_f = node_factors(g, norm)
     return _spgemm(dim, impl, values, channels, src_f, dst_f,
-                   g.indices, g.edge_dst, g.t_indices, g.t_edge_dst)
+                   g.indices, g.edge_dst, g.t_indices, g.t_edge_dst, plans)
 
 
 def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,

@@ -138,18 +138,34 @@ class Trainer:
 
     # -- driver --------------------------------------------------------------
 
+    def evaluate_checkpoint(self, path: str) -> tuple[float, float, float]:
+        """Eval-only mode (the reference's unused `--evaluate PATH` flag,
+        utils/config.py:55-56 — here it works)."""
+        from spgemm_gnn_tpu.train import checkpoint as ckpt
+        state = ckpt.restore_checkpoint(path, self.init_state())
+        tr, va, te = self.eval_step(state["params"], state["batch_stats"])
+        return float(tr), float(va), float(te)
+
     def run(self, epochs: int | None = None,
             on_epoch: Callable[[EpochRecord], None] | None = None
             ) -> dict[str, Any]:
+        from spgemm_gnn_tpu.train import checkpoint as ckpt
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         state = self.init_state()
+        start_epoch = 0
+        if cfg.resume:
+            last = ckpt.latest_step(cfg.path)
+            if last is not None:
+                state = ckpt.restore_checkpoint(cfg.path, state)
+                start_epoch = int(state["step"])
+                self.logger.info("Resumed from step %d", start_epoch)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val, best_test, best_epoch = 0.0, 0.0, -1
         history: list[EpochRecord] = []
 
         t_start = time.perf_counter()
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             rng, dr = jax.random.split(rng)
             state, loss = self.train_step(state, dr)
             if cfg.eval_every and (epoch % cfg.eval_every == 0
@@ -170,8 +186,13 @@ class Trainer:
                         "Val Accuracy %.4f | Test Accuracy %.4f | "
                         "Best val. Accuracy %.4f | Best test Accuracy %.4f",
                         epoch, epochs, loss, tr, va, te, best_val, best_test)
+                if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                    ckpt.save_checkpoint(cfg.path, state, epoch + 1,
+                                         is_best=(best_epoch == epoch))
         jax.block_until_ready(state["params"])
         wall = time.perf_counter() - t_start
+        if cfg.checkpoint_every:
+            ckpt.save_checkpoint(cfg.path, state, epochs)
 
         return {
             "best_val_accuracy": best_val,

@@ -1,0 +1,42 @@
+"""Native graphcore (C++) vs pure-Python/numpy equivalence tests."""
+import numpy as np
+import pytest
+
+from spgemm_gnn_tpu.graphs import native
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
+from spgemm_gnn_tpu.graphs.tiles import build_tile_plan
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native graphcore unavailable")
+
+
+@pytest.mark.parametrize("maker,args", [
+    (powerlaw_graph, (300, 4000)),
+    (random_graph, (200, 1500)),
+])
+def test_native_plan_bit_identical(maker, args):
+    g = maker(*args, seed=3)
+    indptr = np.asarray(g.indptr)
+    indices = np.asarray(g.indices)
+    plan = build_tile_plan(indptr, indices, g.num_nodes,
+                           block_size=64, chunk=16, window=4)
+    res = native.build_plan_arrays(indptr, indices, g.num_nodes, 64, 16, 4)
+    assert res is not None
+    ws_dst, ws_src, e_src, e_dst, e_mask = res
+    np.testing.assert_array_equal(np.asarray(plan.ws_dst_block), ws_dst)
+    np.testing.assert_array_equal(np.asarray(plan.ws_src_block), ws_src)
+    np.testing.assert_array_equal(np.asarray(plan.e_src_local), e_src)
+    np.testing.assert_array_equal(np.asarray(plan.e_dst_local), e_dst)
+    np.testing.assert_array_equal(np.asarray(plan.e_mask), e_mask)
+
+
+def test_native_csr_matches_numpy():
+    g = random_graph(150, 1200, seed=7, symmetric=False)
+    src = np.asarray(g.indices, np.int64)
+    dst = np.asarray(g.edge_dst, np.int64)
+    res = native.build_csr(src, dst, g.num_nodes)
+    assert res is not None
+    indptr, indices, edge_dst = res
+    np.testing.assert_array_equal(indptr, np.asarray(g.indptr))
+    np.testing.assert_array_equal(indices, np.asarray(g.indices))
+    np.testing.assert_array_equal(edge_dst, np.asarray(g.edge_dst))

@@ -1,0 +1,89 @@
+"""Tile planner invariant tests: edge conservation, locality bounds, chunk
+window constraint, dst-block sort order, empty-block coverage."""
+import numpy as np
+import pytest
+
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
+from spgemm_gnn_tpu.graphs.tiles import build_tile_plan, plan_for_graph
+
+P = dict(block_size=64, chunk=16, window=4)
+
+
+def reconstruct_edges(plan):
+    """Recover the (src, dst) multiset from the plan."""
+    S = plan.block_size
+    ws_dst = np.asarray(plan.ws_dst_block)
+    ws_src = np.asarray(plan.ws_src_block)
+    e_src = np.asarray(plan.e_src_local)
+    e_dst = np.asarray(plan.e_dst_local)
+    m = np.asarray(plan.e_mask).astype(bool)
+    srcs, dsts = [], []
+    for w in range(plan.num_tiles):
+        srcs.append(ws_src[w] * S + e_src[w][m[w]])
+        dsts.append(ws_dst[w] * S + e_dst[w][m[w]])
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+@pytest.mark.parametrize("maker,args", [
+    (powerlaw_graph, (300, 4000)),
+    (random_graph, (200, 1500)),
+])
+def test_plan_preserves_edges(maker, args):
+    g = maker(*args, seed=3)
+    plan = plan_for_graph(g, **P)
+    src, dst = reconstruct_edges(plan)
+    assert len(src) == g.num_edges == plan.num_edges
+    got = np.sort(dst.astype(np.int64) * g.num_nodes + src)
+    want = np.sort(np.asarray(g.edge_dst, np.int64) * g.num_nodes
+                   + np.asarray(g.indices))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_plan_invariants():
+    g = powerlaw_graph(500, 6000, seed=5)
+    plan = plan_for_graph(g, **P)
+    S, C, RW = plan.block_size, plan.chunk, plan.window
+    ws_dst = np.asarray(plan.ws_dst_block)
+    ws_src = np.asarray(plan.ws_src_block)
+    e_src = np.asarray(plan.e_src_local)
+    e_dst = np.asarray(plan.e_dst_local)
+    m = np.asarray(plan.e_mask).astype(bool)
+
+    # tiles sorted by dst block; every dst block present
+    assert (np.diff(ws_dst) >= 0).all()
+    assert set(range(plan.n_dst_blocks)) <= set(ws_dst.tolist())
+    # locals in range
+    assert (e_src >= 0).all() and (e_src < S).all()
+    assert (e_dst >= 0).all() and (e_dst < S).all()
+    # chunk window constraint: within each chunk, rows ∈ [row0, row0+RW)
+    for w in range(plan.num_tiles):
+        for ci in range(S // C):
+            seg = e_dst[w, ci * C:(ci + 1) * C]
+            segm = m[w, ci * C:(ci + 1) * C]
+            w0 = seg[0]
+            assert (seg >= w0).all() and (seg < w0 + RW).all(), (w, ci)
+            # real edges at the front of the chunk? no — masked arbitrary, but
+            # first slot must be a real edge unless the whole chunk is padding
+            if segm.any():
+                assert segm[0]
+            # real edges' rows non-decreasing
+            rows = seg[segm]
+            assert (np.diff(rows) >= 0).all()
+
+
+def test_plan_transpose_directed():
+    g = random_graph(150, 900, seed=9, symmetric=False)
+    plan_f = plan_for_graph(g, transpose=False, **P)
+    plan_b = plan_for_graph(g, transpose=True, **P)
+    sf, df = reconstruct_edges(plan_f)
+    sb, db = reconstruct_edges(plan_b)
+    # transpose plan holds the same edges with roles swapped
+    a = np.sort(df.astype(np.int64) * g.num_nodes + sf)
+    b = np.sort(sb.astype(np.int64) * g.num_nodes + db)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fill_reported():
+    g = powerlaw_graph(300, 5000, seed=1)
+    plan = plan_for_graph(g, **P)
+    assert 0 < plan.fill <= 1.0
