@@ -172,15 +172,16 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
   return W;
 }
 
-// Pass 2: fill the plan arrays (sized W, W, W*S, W*S, W*S).
+// Pass 2: fill the plan arrays (sized W, W, W*S, W*S).
+// Padding slots carry e_src_local = -1 (the kernels derive the valid mask from
+// the sentinel) and e_dst_local = the chunk's window-start row.
 int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
-                 int32_t* e_src_local, int32_t* e_dst_local, float* e_mask) {
+                 int32_t* e_src_local, int32_t* e_dst_local) {
   PlanState& st = g_state;
   int64_t W = (int64_t)st.tile_dblk.size();
   int64_t S = st.S, C = st.C;
-  std::fill(e_src_local, e_src_local + W * S, 0);
+  std::fill(e_src_local, e_src_local + W * S, -1);
   std::fill(e_dst_local, e_dst_local + W * S, 0);
-  std::fill(e_mask, e_mask + W * S, 0.f);
   for (int64_t w = 0; w < W; ++w) {
     ws_dst[w] = st.tile_dblk[w];
     ws_src[w] = 0;
@@ -199,7 +200,6 @@ int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
           e_src_local[base + j] = indices[e] - sblk * (int32_t)S;
           e_dst_local[base + j] =
               (int32_t)(st.dst_of[e] - (int64_t)ws_dst[w] * S);
-          e_mask[base + j] = 1.f;
         } else {
           e_dst_local[base + j] = (int32_t)row0;   // window-start padding
         }

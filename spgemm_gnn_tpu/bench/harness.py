@@ -56,20 +56,23 @@ def bench_aggregation(n_nodes: int, n_edges: int, dim: int, k: int,
     for impl in impls:
         graph = pg if impl == "pallas" else g
 
-        fwd = jax.jit(lambda v: aggregate_cbsr(graph, v, ch, dim, norm, impl))
+        # graph/channels/cotangent are jit arguments, not closures (closures
+        # embed as HLO constants — breaks the remote-compile TPU path)
+        fwd = jax.jit(
+            lambda v, c, gr: aggregate_cbsr(gr, v, c, dim, norm, impl))
 
         def fwd_step(v):
-            y = fwd(v)
+            y = fwd(v, ch, graph)
             return v + y[:, :k] * 1e-9
 
         t_fwd = time_chained(fwd_step, vals, iters)
 
         bwd = jax.jit(jax.grad(
-            lambda v: (aggregate_cbsr(graph, v, ch, dim, norm, impl)
-                       * ct).sum()))
+            lambda v, c, gr, cot: (aggregate_cbsr(gr, v, c, dim, norm, impl)
+                                   * cot).sum()))
 
         def bwd_step(v):
-            return v + bwd(v) * 1e-9
+            return v + bwd(v, ch, graph, ct) * 1e-9
 
         t_bwd = time_chained(bwd_step, vals, iters)
         out[impl] = {

@@ -58,7 +58,7 @@ def _load():
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64]
         lib.gc_plan_fill.restype = ctypes.c_int
-        lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i32p, _f32p]
+        lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i32p]
         _LIB = lib
         return lib
 
@@ -87,8 +87,8 @@ def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
 
 def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
                       num_nodes: int, S: int, C: int, RW: int):
-    """Native tile planning. Returns (ws_dst, ws_src, e_src_local, e_dst_local,
-    e_mask) or None. Output is bit-identical to the Python planner."""
+    """Native tile planning. Returns (ws_dst, ws_src, e_src_local, e_dst_local)
+    or None. Output is bit-identical to the Python planner."""
     lib = _load()
     if not lib:
         return None
@@ -102,10 +102,8 @@ def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
         ws_src = np.empty(w, np.int32)
         e_src = np.empty((w, S), np.int32)
         e_dst = np.empty((w, S), np.int32)
-        e_mask = np.empty((w, S), np.float32)
         rc = lib.gc_plan_fill(indices32, ws_dst, ws_src,
-                              e_src.reshape(-1), e_dst.reshape(-1),
-                              e_mask.reshape(-1))
+                              e_src.reshape(-1), e_dst.reshape(-1))
     if rc != 0:
         return None
-    return ws_dst, ws_src, e_src, e_dst, e_mask
+    return ws_dst, ws_src, e_src, e_dst

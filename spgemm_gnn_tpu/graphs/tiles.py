@@ -39,11 +39,10 @@ class TilePlan:
     """
     ws_dst_block: jax.Array   # i32[W]    out (dst-row) block per tile — sorted
     ws_src_block: jax.Array   # i32[W]    src node block per tile
-    e_src_local: jax.Array    # i32[W, S] src id within block (pad → 0)
+    e_src_local: jax.Array    # i32[W, S] src id within block; -1 for padding
     e_dst_local: jax.Array    # i32[W, S] dst row offset within dst block; the
     #                           first slot of each chunk is its window start
     #                           (chunks are never empty unless fully padded)
-    e_mask: jax.Array         # f32[W, S] 1 for real edges, 0 for padding
     num_tiles: int = struct.field(pytree_node=False)
     block_size: int = struct.field(pytree_node=False)       # S
     chunk: int = struct.field(pytree_node=False)            # C
@@ -68,7 +67,7 @@ class TilePlan:
 
 def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
                     *, block_size: int = 2048, chunk: int = 256,
-                    window: int = 8) -> TilePlan:
+                    window: int = 8, use_native: bool = True) -> TilePlan:
     """Build a TilePlan from an (in-)CSR structure.
 
     For the backward (SSpMM) plan, pass the transpose CSR (t_indptr/t_indices):
@@ -81,18 +80,17 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
 
     # native fast path (bit-identical output; tests/test_native.py)
     from spgemm_gnn_tpu.graphs import native
-    if native.available():
+    if use_native and native.available():
         res = native.build_plan_arrays(indptr, np.asarray(indices, np.int32),
                                        num_nodes, S, C, RW)
         if res is not None:
-            ws_dst, ws_src, e_src_local, e_dst_local, e_mask = res
+            ws_dst, ws_src, e_src_local, e_dst_local = res
             nb = max(-(-num_nodes // S), 1)
             return TilePlan(
                 ws_dst_block=jnp.asarray(ws_dst),
                 ws_src_block=jnp.asarray(ws_src),
                 e_src_local=jnp.asarray(e_src_local),
                 e_dst_local=jnp.asarray(e_dst_local),
-                e_mask=jnp.asarray(e_mask),
                 num_tiles=len(ws_dst), block_size=S, chunk=C, window=RW,
                 n_dst_blocks=nb, n_src_blocks=nb,
                 num_edges=int(indptr[-1]),
@@ -153,9 +151,8 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     W = len(tiles) + len(missing)
     ws_dst = np.zeros(W, np.int32)
     ws_src = np.zeros(W, np.int32)
-    e_src_local = np.zeros((W, S), np.int32)
+    e_src_local = np.full((W, S), -1, np.int32)   # -1 ⇒ padding slot
     e_dst_local = np.zeros((W, S), np.int32)
-    e_mask = np.zeros((W, S), np.float32)
 
     items = []
     for t in tiles:
@@ -179,21 +176,47 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
             # padding slots replicate the chunk's window start so the
             # in-kernel (row - row[chunk_start]) offsets stay in [0, RW)
             e_dst_local[w, base + n:base + C] = rows[0] - dblk * S
-            e_mask[w, base:base + n] = 1.0
 
     return TilePlan(
         ws_dst_block=jnp.asarray(ws_dst), ws_src_block=jnp.asarray(ws_src),
         e_src_local=jnp.asarray(e_src_local),
         e_dst_local=jnp.asarray(e_dst_local),
-        e_mask=jnp.asarray(e_mask),
         num_tiles=W, block_size=S, chunk=C, window=RW,
         n_dst_blocks=n_dst_blocks, n_src_blocks=n_src_blocks, num_edges=E,
     )
 
 
+def auto_tile_params(num_nodes: int, num_edges: int,
+                     block_size: int = 2048) -> tuple[int, int]:
+    """Pick (chunk, window) from graph density.
+
+    λ = expected edges per (destination row, source block). The chunk reduction
+    is one [RW, C] @ [C, dim] matmul, so per-edge MXU cost ≈ RW·C·dim /
+    min(C, λ·RW): pick the smallest window whose expected chunk occupancy
+    λ·RW reaches the chunk size (the TPU analogue of the reference's
+    density-dependent warp sizing, README_INTEGRATED.md:253-257)."""
+    n_src_blocks = max(-(-num_nodes // block_size), 1)
+    avg_deg = num_edges / max(num_nodes, 1)
+    lam = avg_deg / n_src_blocks
+    C = 128
+    rw = C / max(lam, 1e-6)
+    RW = 8
+    while RW < rw and RW < 128:
+        RW *= 2
+    return C, RW
+
+
 def plan_for_graph(g, *, transpose: bool = False, block_size: int = 2048,
-                   chunk: int = 256, window: int = 8) -> TilePlan:
-    """TilePlan for a Graph's forward (in-CSR) or transpose (out-CSR) edges."""
+                   chunk: int | None = None,
+                   window: int | None = None) -> TilePlan:
+    """TilePlan for a Graph's forward (in-CSR) or transpose (out-CSR) edges.
+
+    chunk/window default to density-tuned values (auto_tile_params)."""
+    if chunk is None or window is None:
+        c_auto, rw_auto = auto_tile_params(g.num_nodes, g.num_edges,
+                                           block_size)
+        chunk = chunk or c_auto
+        window = window or rw_auto
     indptr = g.t_indptr if transpose else g.indptr
     indices = g.t_indices if transpose else g.indices
     return build_tile_plan(np.asarray(indptr), np.asarray(indices),

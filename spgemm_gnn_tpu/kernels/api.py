@@ -124,7 +124,12 @@ def aggregate_cbsr(g, values, channels, dim: int, norm: str = "sum",
     if isinstance(g, PlannedGraph):
         plans = (g.fwd_plan, g.bwd_plan)
         if impl == "auto":
-            impl = "pallas"
+            # the windowed-matmul kernels only pay off when the tile plan is
+            # reasonably dense; sparse plans (low-degree graphs) fall back to
+            # the XLA path — matching the reference's >50-avg-degree headline
+            # regime (README.md:136)
+            fill = min(g.fwd_plan.fill, g.bwd_plan.fill)
+            impl = "pallas" if fill >= 0.2 else "xla"
     if impl == "pallas" and plans is None:
         raise ValueError("impl='pallas' requires a PlannedGraph "
                          "(kernels.planned.plan_graph)")

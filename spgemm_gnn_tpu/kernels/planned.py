@@ -57,8 +57,8 @@ class PlannedGraph:
         return self.graph.t_edge_dst
 
 
-def plan_graph(g: Graph, *, block_size: int = 2048, chunk: int = 256,
-               window: int = 8) -> PlannedGraph:
+def plan_graph(g: Graph, *, block_size: int = 2048, chunk: int | None = None,
+               window: int | None = None) -> PlannedGraph:
     """Build both plans for a graph (host-side, once; the generate_meta role)."""
     fwd = plan_for_graph(g, transpose=False, block_size=block_size,
                          chunk=chunk, window=window)

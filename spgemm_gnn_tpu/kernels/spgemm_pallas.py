@@ -62,7 +62,7 @@ def _gather_rows(block, idx):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(ws_dst_ref, ws_src_ref,          # scalar prefetch (SMEM)
-                x_ref, e_src_ref, e_dst_ref, e_mask_ref,   # VMEM blocks
+                x_ref, e_src_ref, e_dst_ref,     # VMEM blocks
                 out_ref, *, chunk: int, window: int, acc_dtype):
     i = pl.program_id(0)
 
@@ -70,21 +70,23 @@ def _fwd_kernel(ws_dst_ref, ws_src_ref,          # scalar prefetch (SMEM)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    src_idx = e_src_ref[0, :]                       # [S] i32
-    mask = e_mask_ref[0, :]                         # [S] f32
+    src_idx = e_src_ref[0, 0, :]                    # [S] i32; -1 ⇒ padding
     block = x_ref[:]                                # [S, dim]
-    gathered = _gather_rows(block, src_idx)         # [S, dim]
-    gathered = gathered * mask[:, None].astype(gathered.dtype)
+    gathered = _gather_rows(block, jnp.maximum(src_idx, 0))   # [S, dim]
+    # padding mask via f32 multiply — bool [:, None] reshapes (i1 minor-dim
+    # insertion) don't lower in Mosaic
+    mask_f = (src_idx >= 0).astype(gathered.dtype)
+    gathered = gathered * mask_f[:, None]
 
     s = src_idx.shape[0]
     cpt = s // chunk
     for ci in range(cpt):
         lo = ci * chunk
         seg = gathered[lo:lo + chunk, :]            # [C, dim]
-        rows = e_dst_ref[0, lo:lo + chunk]          # [C] absolute in block
+        rows = e_dst_ref[0, 0, lo:lo + chunk]       # [C] absolute in block
         # chunk window start, clamped so ds(w0, RW) stays in-bounds (rows near
         # the block end still satisfy rows - w0 ∈ [0, RW) after clamping)
-        w0 = jnp.minimum(e_dst_ref[0, lo], s - window)
+        w0 = jnp.minimum(e_dst_ref[0, 0, lo], s - window)
         rel = rows - w0                             # [C] in [0, RW)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
                   == rel[None, :]).astype(seg.dtype)
@@ -113,14 +115,18 @@ def spgemm_forward_planned(plan: TilePlan, x_padded: jax.Array,
 
     kernel = functools.partial(_fwd_kernel, chunk=C, window=RW,
                                acc_dtype=acc_dtype)
+    # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
+    # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.
+    w = plan.num_tiles
+    e_src3 = plan.e_src_local.reshape(w, 1, S)
+    e_dst3 = plan.e_dst_local.reshape(w, 1, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(plan.num_tiles,),
+        grid=(w,),
         in_specs=[
             pl.BlockSpec((S, dim), lambda i, wd, ws: (ws[i], 0)),
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((S, dim), lambda i, wd, ws: (wd[i], 0)),
     )
@@ -129,8 +135,7 @@ def spgemm_forward_planned(plan: TilePlan, x_padded: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.padded_dst, dim), acc_dtype),
         interpret=interpret,
-    )(plan.ws_dst_block, plan.ws_src_block,
-      x_padded, plan.e_src_local, plan.e_dst_local, plan.e_mask)
+    )(plan.ws_dst_block, plan.ws_src_block, x_padded, e_src3, e_dst3)
 
 
 # ----------------------------------------------------------------------------
@@ -138,7 +143,7 @@ def spgemm_forward_planned(plan: TilePlan, x_padded: jax.Array,
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(ws_dst_ref, ws_src_ref,
-                g_ref, ch_ref, e_src_ref, e_dst_ref, e_mask_ref,
+                g_ref, ch_ref, e_src_ref, e_dst_ref,
                 out_ref, *, chunk: int, window: int, k_pad: int, acc_dtype):
     i = pl.program_id(0)
 
@@ -146,13 +151,13 @@ def _bwd_kernel(ws_dst_ref, ws_src_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    u_idx = e_src_ref[0, :]                         # [S] — local id of u (dst
+    u_idx = e_src_ref[0, 0, :]                      # [S] — local id of u (dst
     #                                                 of the original edge)
-    v_idx = e_dst_ref[0, :]                         # [S] — local id of v
-    mask = e_mask_ref[0, :]
+    v_idx = e_dst_ref[0, 0, :]                      # [S] — local id of v
 
-    g_rows = _gather_rows(g_ref[:], u_idx)          # [S, dim] upstream grads
-    g_rows = g_rows * mask[:, None].astype(g_rows.dtype)
+    g_rows = _gather_rows(g_ref[:], jnp.maximum(u_idx, 0))   # [S, dim]
+    mask_f = (u_idx >= 0).astype(g_rows.dtype)      # f32: i1 minor-dim
+    g_rows = g_rows * mask_f[:, None]               # reshapes don't lower
     ch_rows = _gather_rows(ch_ref[:], v_idx)        # [S, k_pad] channel ids
 
     dim = g_rows.shape[-1]
@@ -170,7 +175,7 @@ def _bwd_kernel(ws_dst_ref, ws_src_ref,
         lo = ci * chunk
         seg = sampled[lo:lo + chunk, :]             # [C, k_pad]
         rows = v_idx[lo:lo + chunk]
-        w0 = jnp.minimum(e_dst_ref[0, lo], s - window)   # in-bounds window
+        w0 = jnp.minimum(e_dst_ref[0, 0, lo], s - window)   # in-bounds window
         rel = rows - w0
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
                   == rel[None, :]).astype(seg.dtype)
@@ -203,15 +208,17 @@ def sspmm_backward_planned(plan_t: TilePlan, g_padded: jax.Array,
 
     kernel = functools.partial(_bwd_kernel, chunk=C, window=RW, k_pad=k_pad,
                                acc_dtype=acc_dtype)
+    w = plan_t.num_tiles
+    e_src3 = plan_t.e_src_local.reshape(w, 1, S)
+    e_dst3 = plan_t.e_dst_local.reshape(w, 1, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(plan_t.num_tiles,),
+        grid=(w,),
         in_specs=[
             pl.BlockSpec((S, dim), lambda i, wd, ws: (ws[i], 0)),     # g
             pl.BlockSpec((S, k_pad), lambda i, wd, ws: (wd[i], 0)),   # channels
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, wd, ws: (i, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((S, k_pad), lambda i, wd, ws: (wd[i], 0)),
     )
@@ -221,5 +228,4 @@ def sspmm_backward_planned(plan_t: TilePlan, g_padded: jax.Array,
         out_shape=jax.ShapeDtypeStruct((plan_t.padded_dst, k_pad), acc_dtype),
         interpret=interpret,
     )(plan_t.ws_dst_block, plan_t.ws_src_block,
-      g_padded, channels_padded,
-      plan_t.e_src_local, plan_t.e_dst_local, plan_t.e_mask)
+      g_padded, channels_padded, e_src3, e_dst3)

@@ -53,7 +53,7 @@ def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
     tx = build_optimizer(0.01)
     opt_state = jax.device_put(tx.init(params), repl)
 
-    def train_step(params, opt_state, x, y, m):
+    def train_step(params, opt_state, sg, x, y, m):
         def loss_of(p):
             logits = model.apply({"params": p}, sg, x, train=False)
             return masked_softmax_ce(logits, y, m)
@@ -63,12 +63,8 @@ def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, loss
 
-    step = jax.jit(
-        train_step,
-        in_shardings=(repl, repl, node_sh, node_sh, node_sh),
-        out_shardings=(repl, repl, repl),
-    )
-    params, opt_state, loss = step(params, opt_state, x, y, m)
+    step = jax.jit(train_step)
+    params, opt_state, loss = step(params, opt_state, sg, x, y, m)
     loss_val = float(loss)
     assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
     return loss_val

@@ -55,11 +55,45 @@ class Trainer:
         self.dataset = dataset
         self.g = dataset.graph
         dtype = jnp.dtype(config.dtype)
-        self.features = jnp.asarray(dataset.features, dtype)
-        self.labels = jnp.asarray(dataset.labels)
-        self.masks = tuple(jnp.asarray(m) for m in
-                           (dataset.train_mask, dataset.val_mask,
-                            dataset.test_mask))
+        self.mesh = None
+        if config.mesh_shape > 1:
+            # graph-partition data layout over a 1-D device mesh: node arrays
+            # sharded by contiguous blocks, edges co-located with their
+            # destination block (parallel/sharded.py)
+            from spgemm_gnn_tpu.parallel.mesh import make_mesh
+            from spgemm_gnn_tpu.parallel.sharded import shard_graph
+            self.mesh = make_mesh(config.mesh_shape)
+            sg = shard_graph(dataset.graph, self.mesh)
+            self.g = sg
+            n_pad = sg.padded_nodes
+            node_sh = sg.node_sharding()
+
+            def pad_put(a, fill=0):
+                a = np.asarray(a)
+                out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+                out[: a.shape[0]] = a
+                return jax.device_put(out, node_sh)
+
+            self.features = pad_put(dataset.features).astype(dtype)
+            self.labels = pad_put(dataset.labels)
+            self.masks = tuple(pad_put(m, False) for m in
+                               (dataset.train_mask, dataset.val_mask,
+                                dataset.test_mask))
+        elif config.impl in ("pallas", "auto") and config.nonlinear == "maxk":
+            # single device: attach tile plans so the Pallas kernels engage
+            from spgemm_gnn_tpu.kernels.planned import plan_graph
+            self.g = plan_graph(dataset.graph)
+            self.features = jnp.asarray(dataset.features, dtype)
+            self.labels = jnp.asarray(dataset.labels)
+            self.masks = tuple(jnp.asarray(m) for m in
+                               (dataset.train_mask, dataset.val_mask,
+                                dataset.test_mask))
+        else:
+            self.features = jnp.asarray(dataset.features, dtype)
+            self.labels = jnp.asarray(dataset.labels)
+            self.masks = tuple(jnp.asarray(m) for m in
+                               (dataset.train_mask, dataset.val_mask,
+                                dataset.test_mask))
         self.model = build_model(
             config.model, hidden_dim=config.hidden_dim,
             num_layers=config.hidden_layers, out_dim=dataset.num_classes,
@@ -81,20 +115,25 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
-        return {"params": params, "batch_stats": batch_stats,
-                "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+        state = {"params": params, "batch_stats": batch_stats,
+                 "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+        if self.mesh is not None:   # replicate model state over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
 
     # -- jitted steps --------------------------------------------------------
 
     def _build_steps(self):
-        model, g = self.model, self.g
-        features, labels = self.features, self.labels
-        train_mask, val_mask, test_mask = self.masks
+        # NOTE: the graph and data arrays are explicit jit ARGUMENTS, never
+        # closures — closed-over arrays get embedded as HLO constants, which
+        # bloats (and on the remote-compile TPU path, breaks) compilation.
+        model = self.model
         loss_f = self._loss
         use_rocauc = self._use_rocauc
         tx = self.tx
 
-        def train_step(state, dropout_rng):
+        def train_step(state, dropout_rng, g, features, labels, train_mask):
             def loss_of(params):
                 variables = {"params": params}
                 if state["batch_stats"]:
@@ -122,7 +161,8 @@ class Trainer:
             }
             return new_state, loss
 
-        def eval_step(params, batch_stats):
+        def eval_step(params, batch_stats, g, features, labels, masks):
+            train_mask, val_mask, test_mask = masks
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -133,8 +173,13 @@ class Trainer:
                 metric = lambda m: micro_f1(logits, labels, m)
             return metric(train_mask), metric(val_mask), metric(test_mask)
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_step)
+        jit_train = jax.jit(train_step, donate_argnums=(0,))
+        jit_eval = jax.jit(eval_step)
+        self.train_step = lambda state, rng: jit_train(
+            state, rng, self.g, self.features, self.labels, self.masks[0])
+        self.eval_step = lambda params, batch_stats: jit_eval(
+            params, batch_stats, self.g, self.features, self.labels,
+            self.masks)
 
     # -- driver --------------------------------------------------------------
 

@@ -43,17 +43,17 @@ def measure_aggregation_fraction(trainer, iters: int = 4) -> dict[str, Any]:
     layers = cfg.hidden_layers
     x0 = jnp.zeros((g.num_nodes, dim), jnp.float32)
 
-    def agg_loss(x):
+    def agg_loss(x, g):
         h = x
         for _ in range(layers):
             h2 = maxk(h, k) if k else jax.nn.relu(h)
             h = aggregate(g, h2, norm="mean", k=k, impl=cfg.impl)
         return (h ** 2).sum()
 
-    agg_grad = jax.jit(jax.grad(agg_loss))
+    agg_grad = jax.jit(jax.grad(agg_loss, argnums=0))
 
     def agg_step(x):
-        return x + agg_grad(x) * 1e-9
+        return x + agg_grad(x, g) * 1e-9
 
     t_agg = time_chained(agg_step, x0, iters)
 

@@ -19,15 +19,15 @@ def test_native_plan_bit_identical(maker, args):
     indptr = np.asarray(g.indptr)
     indices = np.asarray(g.indices)
     plan = build_tile_plan(indptr, indices, g.num_nodes,
-                           block_size=64, chunk=16, window=4)
+                           block_size=64, chunk=16, window=4,
+                           use_native=False)
     res = native.build_plan_arrays(indptr, indices, g.num_nodes, 64, 16, 4)
     assert res is not None
-    ws_dst, ws_src, e_src, e_dst, e_mask = res
+    ws_dst, ws_src, e_src, e_dst = res
     np.testing.assert_array_equal(np.asarray(plan.ws_dst_block), ws_dst)
     np.testing.assert_array_equal(np.asarray(plan.ws_src_block), ws_src)
     np.testing.assert_array_equal(np.asarray(plan.e_src_local), e_src)
     np.testing.assert_array_equal(np.asarray(plan.e_dst_local), e_dst)
-    np.testing.assert_array_equal(np.asarray(plan.e_mask), e_mask)
 
 
 def test_native_csr_matches_numpy():

@@ -16,7 +16,7 @@ def reconstruct_edges(plan):
     ws_src = np.asarray(plan.ws_src_block)
     e_src = np.asarray(plan.e_src_local)
     e_dst = np.asarray(plan.e_dst_local)
-    m = np.asarray(plan.e_mask).astype(bool)
+    m = e_src >= 0
     srcs, dsts = [], []
     for w in range(plan.num_tiles):
         srcs.append(ws_src[w] * S + e_src[w][m[w]])
@@ -47,13 +47,13 @@ def test_plan_invariants():
     ws_src = np.asarray(plan.ws_src_block)
     e_src = np.asarray(plan.e_src_local)
     e_dst = np.asarray(plan.e_dst_local)
-    m = np.asarray(plan.e_mask).astype(bool)
+    m = e_src >= 0
 
     # tiles sorted by dst block; every dst block present
     assert (np.diff(ws_dst) >= 0).all()
     assert set(range(plan.n_dst_blocks)) <= set(ws_dst.tolist())
-    # locals in range
-    assert (e_src >= 0).all() and (e_src < S).all()
+    # locals in range (-1 = padding sentinel)
+    assert (e_src >= -1).all() and (e_src < S).all()
     assert (e_dst >= 0).all() and (e_dst < S).all()
     # chunk window constraint: within each chunk, rows ∈ [row0, row0+RW)
     for w in range(plan.num_tiles):
