@@ -117,12 +117,12 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
     int64_t b = bucket_of(p);
     int64_t re = p;
     while (re < E && bucket_of(re) == b) ++re;
-    // chunk [p, re)
+    // chunk [p, re); windows are 8-aligned (TPU sublane slice alignment)
     while (p < re) {
-      int64_t row0 = st.dst_of[st.order[p]];
+      int64_t row0a = (st.dst_of[st.order[p]] / 8) * 8;
       int64_t q = p;
       int64_t qmax = std::min(p + C, re);
-      while (q < qmax && st.dst_of[st.order[q]] < row0 + RW) ++q;
+      while (q < qmax && st.dst_of[st.order[q]] < row0a + RW) ++q;
       st.chunk_start.push_back(p);
       st.chunk_end.push_back(q);
       p = q;

@@ -76,6 +76,10 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     S, C, RW = block_size, chunk, window
     if S % C:
         raise ValueError("block_size must be a multiple of chunk")
+    if RW < 8:
+        # windows start 8-aligned (TPU sublane slice alignment); RW < 8 could
+        # exclude a chunk's own first row from its window
+        raise ValueError("window must be >= 8")
     indptr = np.asarray(indptr, np.int64)
 
     # native fast path (bit-identical output; tests/test_native.py)
@@ -112,13 +116,16 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     run_starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
     run_ends = np.r_[run_starts[1:], E]
 
-    # greedy chunking inside each bucket run: next cut = min(pos + C,
-    # first position whose dst row is >= RW rows past the cut's first row)
+    # greedy chunking inside each bucket run: next cut = min(pos + C, first
+    # position whose dst row leaves the chunk's 8-aligned RW-row window).
+    # Windows start at (row0 // 8) * 8 — TPU sublane dynamic slices must be
+    # 8-aligned (Mosaic cannot prove alignment of arbitrary starts).
     chunk_slices: list[tuple[int, int]] = []   # (start, end) per chunk
     for rs, re in zip(run_starts, run_ends):
         rows = dst_o[rs:re]
-        # limit[p] = first local index with row >= rows[p] + RW
-        limit = np.searchsorted(rows, rows + RW, side="left")
+        win0 = (rows // 8) * 8
+        # limit[p] = first local index with row >= aligned_window(p) + RW
+        limit = np.searchsorted(rows, win0 + RW, side="left")
         p = 0
         n = re - rs
         while p < n:

@@ -84,9 +84,10 @@ def _fwd_kernel(ws_dst_ref, ws_src_ref,          # scalar prefetch (SMEM)
         lo = ci * chunk
         seg = gathered[lo:lo + chunk, :]            # [C, dim]
         rows = e_dst_ref[0, 0, lo:lo + chunk]       # [C] absolute in block
-        # chunk window start, clamped so ds(w0, RW) stays in-bounds (rows near
-        # the block end still satisfy rows - w0 ∈ [0, RW) after clamping)
-        w0 = jnp.minimum(e_dst_ref[0, 0, lo], s - window)
+        # 8-aligned chunk window start (planner contract), clamped in-bounds;
+        # rows - w0 stays in [0, RW) either way
+        w0 = jnp.minimum((e_dst_ref[0, 0, lo] // 8) * 8, s - window)
+        w0 = pl.multiple_of(w0, 8)
         rel = rows - w0                             # [C] in [0, RW)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
                   == rel[None, :]).astype(seg.dtype)
@@ -175,7 +176,8 @@ def _bwd_kernel(ws_dst_ref, ws_src_ref,
         lo = ci * chunk
         seg = sampled[lo:lo + chunk, :]             # [C, k_pad]
         rows = v_idx[lo:lo + chunk]
-        w0 = jnp.minimum(e_dst_ref[0, 0, lo], s - window)   # in-bounds window
+        w0 = jnp.minimum((e_dst_ref[0, 0, lo] // 8) * 8, s - window)
+        w0 = pl.multiple_of(w0, 8)                  # 8-aligned window start
         rel = rows - w0
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
                   == rel[None, :]).astype(seg.dtype)

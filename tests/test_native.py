@@ -19,9 +19,9 @@ def test_native_plan_bit_identical(maker, args):
     indptr = np.asarray(g.indptr)
     indices = np.asarray(g.indices)
     plan = build_tile_plan(indptr, indices, g.num_nodes,
-                           block_size=64, chunk=16, window=4,
+                           block_size=64, chunk=16, window=8,
                            use_native=False)
-    res = native.build_plan_arrays(indptr, indices, g.num_nodes, 64, 16, 4)
+    res = native.build_plan_arrays(indptr, indices, g.num_nodes, 64, 16, 8)
     assert res is not None
     ws_dst, ws_src, e_src, e_dst = res
     np.testing.assert_array_equal(np.asarray(plan.ws_dst_block), ws_dst)

@@ -6,7 +6,7 @@ import pytest
 from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
 from spgemm_gnn_tpu.graphs.tiles import build_tile_plan, plan_for_graph
 
-P = dict(block_size=64, chunk=16, window=4)
+P = dict(block_size=64, chunk=16, window=8)
 
 
 def reconstruct_edges(plan):
@@ -55,12 +55,12 @@ def test_plan_invariants():
     # locals in range (-1 = padding sentinel)
     assert (e_src >= -1).all() and (e_src < S).all()
     assert (e_dst >= 0).all() and (e_dst < S).all()
-    # chunk window constraint: within each chunk, rows ∈ [row0, row0+RW)
+    # chunk window constraint: rows ∈ [align8(row0), align8(row0)+RW)
     for w in range(plan.num_tiles):
         for ci in range(S // C):
             seg = e_dst[w, ci * C:(ci + 1) * C]
             segm = m[w, ci * C:(ci + 1) * C]
-            w0 = seg[0]
+            w0 = (seg[0] // 8) * 8
             assert (seg >= w0).all() and (seg < w0 + RW).all(), (w, ci)
             # real edges at the front of the chunk? no — masked arbitrary, but
             # first slot must be a real edge unless the whole chunk is padding
