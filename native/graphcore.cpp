@@ -67,23 +67,26 @@ struct PlanState {
   std::vector<int64_t> tile_first_chunk, tile_nchunks;
   std::vector<int32_t> tile_dblk;    // dst block per tile (incl. empty blocks)
   std::vector<int64_t> dst_of;       // dst row per (original CSR) edge
-  int64_t S, C, RW, n_dst_blocks, n_src_blocks, E;
+  int64_t S, C, RW, B, R, n_dst_blocks, n_src_blocks, E;
 };
 PlanState g_state;   // single-threaded planner; one plan in flight at a time
 }  // namespace
 
 // Pass 1: compute the plan structure; returns W (tile count) or -1 on error.
+// S = tile edge slots, C = chunk, RW = row window, B = src block, R = dst blk.
 int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
-                      int64_t num_nodes, int64_t S, int64_t C, int64_t RW) {
+                      int64_t num_nodes, int64_t S, int64_t C, int64_t RW,
+                      int64_t B, int64_t R) {
   if (S % C) return -1;
   PlanState& st = g_state;
   st = PlanState();
-  st.S = S; st.C = C; st.RW = RW;
+  st.S = S; st.C = C; st.RW = RW; st.B = B; st.R = R;
   int64_t E = indptr[num_nodes];
   st.E = E;
-  int64_t nb = std::max<int64_t>((num_nodes + S - 1) / S, 1);
-  st.n_dst_blocks = nb;
-  st.n_src_blocks = nb;
+  int64_t ndb = std::max<int64_t>((num_nodes + R - 1) / R, 1);
+  int64_t nsb = std::max<int64_t>((num_nodes + B - 1) / B, 1);
+  st.n_dst_blocks = ndb;
+  st.n_src_blocks = nsb;
 
   // dst row per edge
   st.dst_of.resize(E);
@@ -94,14 +97,14 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
   // (dst, src) inside the CSR ⇒ stable sort yields (dst_blk, src_blk, dst, src))
   st.order.resize(E);
   std::vector<int64_t> cnt;
-  for (int64_t db = 0; db < nb; ++db) {
-    int64_t vlo = db * S, vhi = std::min(num_nodes, (db + 1) * S);
+  for (int64_t db = 0; db < ndb; ++db) {
+    int64_t vlo = db * R, vhi = std::min(num_nodes, (db + 1) * R);
     int64_t elo = indptr[vlo], ehi = indptr[vhi];
-    cnt.assign(nb + 1, 0);
-    for (int64_t e = elo; e < ehi; ++e) cnt[indices[e] / S + 1]++;
+    cnt.assign(nsb + 1, 0);
+    for (int64_t e = elo; e < ehi; ++e) cnt[indices[e] / B + 1]++;
     std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
     for (int64_t e = elo; e < ehi; ++e) {
-      int64_t sb = indices[e] / S;
+      int64_t sb = indices[e] / B;
       st.order[elo + cnt[sb]++] = e;
     }
   }
@@ -109,10 +112,9 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
   // greedy chunking within (dst_blk, src_blk) bucket runs
   auto bucket_of = [&](int64_t p) {
     int64_t e = st.order[p];
-    return (st.dst_of[e] / S) * nb + indices[e] / S;
+    return (st.dst_of[e] / R) * nsb + indices[e] / B;
   };
   int64_t p = 0;
-  std::vector<char> block_present(nb, 0);
   while (p < E) {
     int64_t b = bucket_of(p);
     int64_t re = p;
@@ -130,6 +132,7 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
   }
 
   // pack chunks into tiles (same bucket, ≤ S/C chunks)
+  std::vector<char> block_present(ndb, 0);
   int64_t cpt = S / C;
   int64_t nchunks = (int64_t)st.chunk_start.size();
   int64_t ci = 0;
@@ -141,12 +144,12 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
     }
     st.tile_first_chunk.push_back(first);
     st.tile_nchunks.push_back(n);
-    int32_t dblk = (int32_t)(st.dst_of[st.order[st.chunk_start[first]]] / S);
+    int32_t dblk = (int32_t)(st.dst_of[st.order[st.chunk_start[first]]] / R);
     st.tile_dblk.push_back(dblk);
     block_present[dblk] = 1;
   }
   // empty dst blocks still need a (zero) tile
-  for (int64_t b = 0; b < nb; ++b)
+  for (int64_t b = 0; b < ndb; ++b)
     if (!block_present[b]) {
       st.tile_first_chunk.push_back(-1);
       st.tile_nchunks.push_back(0);
@@ -182,24 +185,25 @@ int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
   int64_t S = st.S, C = st.C;
   std::fill(e_src_local, e_src_local + W * S, -1);
   std::fill(e_dst_local, e_dst_local + W * S, 0);
+  int64_t B = st.B, R = st.R;
   for (int64_t w = 0; w < W; ++w) {
     ws_dst[w] = st.tile_dblk[w];
     ws_src[w] = 0;
     if (st.tile_nchunks[w] == 0) continue;
     int64_t fc = st.tile_first_chunk[w];
     int64_t e0 = st.order[st.chunk_start[fc]];
-    int32_t sblk = indices[e0] / (int32_t)S;
+    int32_t sblk = (int32_t)(indices[e0] / B);
     ws_src[w] = sblk;
     for (int64_t ci = 0; ci < st.tile_nchunks[w]; ++ci) {
       int64_t cs = st.chunk_start[fc + ci], ce = st.chunk_end[fc + ci];
       int64_t base = w * S + ci * C;
-      int64_t row0 = st.dst_of[st.order[cs]] - (int64_t)ws_dst[w] * S;
+      int64_t row0 = st.dst_of[st.order[cs]] - (int64_t)ws_dst[w] * R;
       for (int64_t j = 0; j < C; ++j) {
         if (cs + j < ce) {
           int64_t e = st.order[cs + j];
-          e_src_local[base + j] = indices[e] - sblk * (int32_t)S;
+          e_src_local[base + j] = (int32_t)(indices[e] - (int64_t)sblk * B);
           e_dst_local[base + j] =
-              (int32_t)(st.dst_of[e] - (int64_t)ws_dst[w] * S);
+              (int32_t)(st.dst_of[e] - (int64_t)ws_dst[w] * R);
         } else {
           e_dst_local[base + j] = (int32_t)row0;   // window-start padding
         }

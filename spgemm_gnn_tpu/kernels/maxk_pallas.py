@@ -1,0 +1,141 @@
+"""Pallas MaxK kernel — fused top-k masking without sorting.
+
+TPU re-design of the reference's pivot-based `maxk_kernel`
+(kernels/maxk_cuda_kernels.cu, "pivot-based top-k selection in shared memory",
+README_INTEGRATED.md:133-135, SURVEY.md §2.1 [bin]). Like the CUDA kernel (and
+the reference's `maxk_forward` binding), the forward returns the *dense masked*
+output; the backward multiplies by the same mask.
+
+Algorithm (per row, fully vectorised over a row block):
+1. map floats to order-preserving uint32 bit patterns;
+2. find the k-th largest value by 32-step binary search on the bit pattern
+   (each step: one [B, dim] compare + row reduction) — the pivot;
+3. resolve ties at the pivot by a 10-step binary search on the channel index,
+   keeping the lowest-index ties (torch.topk tie order);
+4. emit y = x · mask plus per-row (pivot, tie index bound) so the backward can
+   recompute the mask in one pass — no O(N·dim) mask residual.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MIN_INT = jnp.int32(-2147483648)  # 0x80000000
+
+
+def _ordered_keys(x: jax.Array) -> jax.Array:
+    """Map float32 to int32 keys whose *unsigned* order equals float order.
+
+    For f >= 0 the pattern needs the sign bit set; for f < 0 the pattern is
+    bitwise-complemented. We keep keys in "unsigned-pattern" form and compare
+    via the signed trick a <_u b  ⇔  (a ^ MIN_INT) < (b ^ MIN_INT).
+    """
+    b = x.view(jnp.int32) if hasattr(x, "view") else jax.lax.bitcast_convert_type(x, jnp.int32)
+    b = jax.lax.bitcast_convert_type(x, jnp.float32).view(jnp.int32) if False else b
+    neg = b < 0
+    return jnp.where(neg, ~b, b ^ MIN_INT)
+
+
+def _u_ge(a: jax.Array, b) -> jax.Array:
+    """Unsigned >= on int32 bit patterns."""
+    return (a ^ MIN_INT) >= (b ^ MIN_INT)
+
+
+def _row_mask(keys: jax.Array, k: int) -> jax.Array:
+    """Boolean top-k mask per row of `keys` (uint-pattern int32 [B, dim])."""
+    bdim = keys.shape
+    dim = bdim[-1]
+
+    # step 2: binary search the pivot (k-th largest pattern) bit by bit
+    t = jnp.zeros(bdim[:-1] + (1,), jnp.int32)     # [B, 1] candidate pattern
+    for bit in range(31, -1, -1):
+        cand = t | jnp.int32(1 << bit) if bit < 31 else t | MIN_INT
+        cnt = jnp.sum(_u_ge(keys, cand), axis=-1, keepdims=True)
+        t = jnp.where(cnt >= k, cand, t)
+
+    greater = ~_u_ge(t, keys)                      # keys >_u t
+    g_cnt = jnp.sum(greater, axis=-1, keepdims=True)
+    ties = keys == t
+
+    # step 3: tie resolution on channel index (keep lowest indices)
+    iota = jax.lax.broadcasted_iota(jnp.int32, bdim, len(bdim) - 1)
+    c = jnp.zeros_like(t)
+    budget = k - g_cnt
+    for bit in range(10, -1, -1):
+        cand = c | jnp.int32(1 << bit)
+        cnt = jnp.sum(ties & (iota < cand), axis=-1, keepdims=True)
+        c = jnp.where(cnt <= budget, cand, c)
+
+    return greater | (ties & (iota < c)), t, c
+
+
+def _maxk_kernel(x_ref, y_ref, meta_ref, *, k: int):
+    x = x_ref[:]
+    keys = _ordered_keys(x)
+    mask, t, c = _row_mask(keys, k)
+    y_ref[:] = x * mask.astype(x.dtype)
+    b = x.shape[0]
+    meta = jnp.concatenate(
+        [jnp.broadcast_to(t, (b, 64)), jnp.broadcast_to(c, (b, 64))], axis=-1)
+    meta_ref[:] = meta
+
+
+def _mask_from_meta(x: jax.Array, meta: jax.Array) -> jax.Array:
+    """Recompute the forward mask from (pivot, index bound) — one pass."""
+    keys = _ordered_keys(x)
+    t = meta[:, :1]
+    c = meta[:, 64:65]
+    greater = ~_u_ge(t, keys)
+    ties = keys == t
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return greater | (ties & (iota < c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def maxk_pallas(x: jax.Array, k: int, block: int = 1024,
+                interpret: bool | None = None) -> jax.Array:
+    """MaxK via the Pallas kernel: y = x * topk_mask(x). Exact reference
+    semantics (utils/models.py:12-26) including lowest-index tie-breaking."""
+    return _maxk_fwd(x, k, block, interpret)[0]
+
+
+def _maxk_call(x, k, block, interpret):
+    n, dim = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    y, meta = pl.pallas_call(
+        functools.partial(_maxk_kernel, k=k),
+        grid=(n_pad // block,),
+        in_specs=[pl.BlockSpec((block, dim), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((block, dim), lambda i: (i, 0)),
+                   pl.BlockSpec((block, 128), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, dim), x.dtype),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.int32)),
+        interpret=interpret,
+    )(x)
+    return y[:n], meta[:n]
+
+
+def _maxk_fwd(x, k, block, interpret):
+    if k >= x.shape[-1]:
+        return x, None
+    y, meta = _maxk_call(x, k, block, interpret)
+    return y, (x, meta)
+
+
+def _maxk_bwd(k, block, interpret, res, g):
+    if res is None:
+        return (g,)
+    x, meta = res
+    mask = _mask_from_meta(x, meta)
+    return (g * mask.astype(g.dtype),)
+
+
+maxk_pallas.defvjp(_maxk_fwd, _maxk_bwd)

@@ -1,6 +1,14 @@
 """PlannedGraph: a Graph bundled with its forward/backward TilePlans, plus the
-full XLA↔Pallas glue (densify, pad, kernel, unpad, norm scaling) used by the
-"pallas" aggregation impl.
+full XLA↔Pallas glue (densify, transpose, pad, kernel, sample, norm scaling)
+used by the "pallas" aggregation impl.
+
+Forward (SpGEMM): y = dst_f ⊙ A · (src_f ⊙ dense(values, channels))
+  — densify CBSR (XLA scatter, O(N·k)), scale, transpose to [dim, N], run the
+  planned windowed-SpMM kernel.
+Backward (sampled SSpMM): dvalues = src_f ⊙ take_along(Aᵀ · (dst_f ⊙ g), ch)
+  — the dense transpose product is the SAME kernel on the transpose plan; the
+  [N, dim] intermediate is cheap on TPU (the CUDA reference avoids it because
+  of atomics, not bandwidth — SURVEY.md §0).
 """
 from __future__ import annotations
 
@@ -10,9 +18,7 @@ from flax import struct
 
 from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.tiles import TilePlan, plan_for_graph
-from spgemm_gnn_tpu.kernels.spgemm_pallas import (
-    LANES, spgemm_forward_planned, sspmm_backward_planned,
-)
+from spgemm_gnn_tpu.kernels.spgemm_pallas import planned_spmm
 from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
 
 
@@ -57,13 +63,14 @@ class PlannedGraph:
         return self.graph.t_edge_dst
 
 
-def plan_graph(g: Graph, *, block_size: int = 2048, chunk: int | None = None,
+def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 1024,
+               dst_block: int = 4096,
                window: int | None = None) -> PlannedGraph:
     """Build both plans for a graph (host-side, once; the generate_meta role)."""
-    fwd = plan_for_graph(g, transpose=False, block_size=block_size,
-                         chunk=chunk, window=window)
-    bwd = plan_for_graph(g, transpose=True, block_size=block_size,
-                         chunk=chunk, window=window)
+    kw = dict(tile_slots=tile_slots, src_block=src_block, dst_block=dst_block,
+              window=window)
+    fwd = plan_for_graph(g, transpose=False, **kw)
+    bwd = plan_for_graph(g, transpose=True, **kw)
     return PlannedGraph(graph=g, fwd_plan=fwd, bwd_plan=bwd)
 
 
@@ -71,42 +78,38 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
-    n = x.shape[0]
-    if n == rows:
-        return x
-    return jnp.pad(x, ((0, rows - n),) + ((0, 0),) * (x.ndim - 1))
-
-
 def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
 
 
-def spgemm_forward(dim, values, channels, src_f, dst_f, plans) -> jax.Array:
-    """Full forward: CBSR → dense rows → planned Pallas SpGEMM → norm scaling.
+def _planned_dense_spmm(plan: TilePlan, x: jax.Array,
+                        stream_dtype) -> jax.Array:
+    """A · x over the plan for dense x [N, dim] → [N, dim] (f32)."""
+    n = x.shape[0]
+    xt = x.astype(stream_dtype).T                    # [dim, N]
+    pad = plan.padded_src - n
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+    y = planned_spmm(plan, xt, interpret=_interpret())
+    return y[:n]
 
-    (The densify step is XLA for now; its cost is O(N·k) scatter vs the
-    kernel's O(E) work.)"""
+
+def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
+                   stream_dtype=jnp.float32) -> jax.Array:
+    """Full forward: CBSR → dense rows → planned Pallas SpGEMM → norm scaling."""
     fwd_plan, _ = plans
-    n = values.shape[0]
     x = cbsr_to_dense(values, channels, dim)
     x = _scale(x, src_f)
-    x = _pad_rows(x, fwd_plan.padded_src)
-    y = spgemm_forward_planned(fwd_plan, x, interpret=_interpret())
-    y = y[:n]
+    y = _planned_dense_spmm(fwd_plan, x, stream_dtype)
     return _scale(y, dst_f)
 
 
-def sspmm_backward(g_ct, channels, src_f, dst_f, plans) -> jax.Array:
-    """Full sampled backward: pad → planned Pallas SSpMM → norm scaling.
-
-    Returns dvalues [N, k]."""
+def sspmm_backward(g_ct, channels, src_f, dst_f, plans,
+                   stream_dtype=jnp.float32) -> jax.Array:
+    """Sampled backward: dense transpose product (same kernel, transpose plan)
+    then channel sampling. Returns dvalues [N, k]."""
     _, bwd_plan = plans
-    n, k = channels.shape
-    k_pad = max(LANES, -(-k // LANES) * LANES)
     gy = _scale(g_ct, dst_f)
-    gy = _pad_rows(gy, bwd_plan.padded_src)
-    ch = jnp.pad(channels, ((0, bwd_plan.padded_dst - n), (0, k_pad - k)))
-    dv = sspmm_backward_planned(bwd_plan, gy, ch, interpret=_interpret())
-    dv = dv[:n, :k]
+    z = _planned_dense_spmm(bwd_plan, gy, stream_dtype)   # [N, dim] = Aᵀ·gy
+    dv = jnp.take_along_axis(z, channels, axis=-1)        # sample k channels
     return _scale(dv, src_f)

@@ -9,6 +9,8 @@ from spgemm_gnn_tpu.graphs.tiles import build_tile_plan
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native graphcore unavailable")
 
+PK = dict(tile_slots=256, src_block=256, dst_block=128, window=8)
+
 
 @pytest.mark.parametrize("maker,args", [
     (powerlaw_graph, (300, 4000)),
@@ -18,10 +20,11 @@ def test_native_plan_bit_identical(maker, args):
     g = maker(*args, seed=3)
     indptr = np.asarray(g.indptr)
     indices = np.asarray(g.indices)
-    plan = build_tile_plan(indptr, indices, g.num_nodes,
-                           block_size=64, chunk=16, window=8,
-                           use_native=False)
-    res = native.build_plan_arrays(indptr, indices, g.num_nodes, 64, 16, 8)
+    plan = build_tile_plan(indptr, indices, g.num_nodes, use_native=False,
+                           **PK)
+    res = native.build_plan_arrays(indptr, indices, g.num_nodes,
+                                   PK["tile_slots"], 128, PK["window"],
+                                   PK["src_block"], PK["dst_block"])
     assert res is not None
     ws_dst, ws_src, e_src, e_dst = res
     np.testing.assert_array_equal(np.asarray(plan.ws_dst_block), ws_dst)

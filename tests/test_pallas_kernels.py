@@ -13,7 +13,7 @@ from spgemm_gnn_tpu.ops.maxk import maxk, maxk_cbsr, cbsr_to_dense
 from spgemm_gnn_tpu.ops.spmm import spmm
 
 DIM, K = 128, 4   # DIM must be a multiple of 128 (lane width)
-PLAN = dict(block_size=64, chunk=16, window=8)
+PLAN = dict(tile_slots=128, src_block=256, dst_block=128, window=8)
 
 
 @pytest.fixture(scope="module", params=["powerlaw", "uniform", "directed"])

@@ -4,14 +4,13 @@ import numpy as np
 import pytest
 
 from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
-from spgemm_gnn_tpu.graphs.tiles import build_tile_plan, plan_for_graph
+from spgemm_gnn_tpu.graphs.tiles import CHUNK, build_tile_plan, plan_for_graph
 
-P = dict(block_size=64, chunk=16, window=8)
+P = dict(tile_slots=256, src_block=256, dst_block=128, window=8)
 
 
 def reconstruct_edges(plan):
     """Recover the (src, dst) multiset from the plan."""
-    S = plan.block_size
     ws_dst = np.asarray(plan.ws_dst_block)
     ws_src = np.asarray(plan.ws_src_block)
     e_src = np.asarray(plan.e_src_local)
@@ -19,8 +18,8 @@ def reconstruct_edges(plan):
     m = e_src >= 0
     srcs, dsts = [], []
     for w in range(plan.num_tiles):
-        srcs.append(ws_src[w] * S + e_src[w][m[w]])
-        dsts.append(ws_dst[w] * S + e_dst[w][m[w]])
+        srcs.append(ws_src[w] * plan.src_block + e_src[w][m[w]])
+        dsts.append(ws_dst[w] * plan.dst_block + e_dst[w][m[w]])
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
@@ -42,9 +41,8 @@ def test_plan_preserves_edges(maker, args):
 def test_plan_invariants():
     g = powerlaw_graph(500, 6000, seed=5)
     plan = plan_for_graph(g, **P)
-    S, C, RW = plan.block_size, plan.chunk, plan.window
+    S, RW = plan.tile_slots, plan.window
     ws_dst = np.asarray(plan.ws_dst_block)
-    ws_src = np.asarray(plan.ws_src_block)
     e_src = np.asarray(plan.e_src_local)
     e_dst = np.asarray(plan.e_dst_local)
     m = e_src >= 0
@@ -53,16 +51,15 @@ def test_plan_invariants():
     assert (np.diff(ws_dst) >= 0).all()
     assert set(range(plan.n_dst_blocks)) <= set(ws_dst.tolist())
     # locals in range (-1 = padding sentinel)
-    assert (e_src >= -1).all() and (e_src < S).all()
-    assert (e_dst >= 0).all() and (e_dst < S).all()
+    assert (e_src >= -1).all() and (e_src < plan.src_block).all()
+    assert (e_dst >= 0).all() and (e_dst < plan.dst_block).all()
     # chunk window constraint: rows ∈ [align8(row0), align8(row0)+RW)
     for w in range(plan.num_tiles):
-        for ci in range(S // C):
-            seg = e_dst[w, ci * C:(ci + 1) * C]
-            segm = m[w, ci * C:(ci + 1) * C]
+        for ci in range(S // CHUNK):
+            seg = e_dst[w, ci * CHUNK:(ci + 1) * CHUNK]
+            segm = m[w, ci * CHUNK:(ci + 1) * CHUNK]
             w0 = (seg[0] // 8) * 8
             assert (seg >= w0).all() and (seg < w0 + RW).all(), (w, ci)
-            # real edges at the front of the chunk? no — masked arbitrary, but
             # first slot must be a real edge unless the whole chunk is padding
             if segm.any():
                 assert segm[0]
@@ -81,6 +78,13 @@ def test_plan_transpose_directed():
     a = np.sort(df.astype(np.int64) * g.num_nodes + sf)
     b = np.sort(sb.astype(np.int64) * g.num_nodes + db)
     np.testing.assert_array_equal(a, b)
+
+
+def test_auto_window_density():
+    from spgemm_gnn_tpu.graphs.tiles import auto_window
+    # dense graph → small window; sparse graph → large window
+    assert auto_window(10_000, 5_000_000, 1024) <= 32
+    assert auto_window(1_000_000, 2_000_000, 1024) == 256
 
 
 def test_fill_reported():
