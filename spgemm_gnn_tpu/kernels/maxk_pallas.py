@@ -21,10 +21,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MIN_INT = jnp.int32(-2147483648)  # 0x80000000
+MIN_INT = np.int32(-2147483648)  # 0x80000000 (plain scalar — jnp constants
+#                                   captured by kernels break pallas_call)
 
 
 def _ordered_keys(x: jax.Array) -> jax.Array:
@@ -34,10 +36,8 @@ def _ordered_keys(x: jax.Array) -> jax.Array:
     bitwise-complemented. We keep keys in "unsigned-pattern" form and compare
     via the signed trick a <_u b  ⇔  (a ^ MIN_INT) < (b ^ MIN_INT).
     """
-    b = x.view(jnp.int32) if hasattr(x, "view") else jax.lax.bitcast_convert_type(x, jnp.int32)
-    b = jax.lax.bitcast_convert_type(x, jnp.float32).view(jnp.int32) if False else b
-    neg = b < 0
-    return jnp.where(neg, ~b, b ^ MIN_INT)
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return jnp.where(b < 0, ~b, b ^ MIN_INT)
 
 
 def _u_ge(a: jax.Array, b) -> jax.Array:

@@ -101,6 +101,53 @@ def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
 
 
+def _densify_t_kernel(vals_ref, ch_ref, out_ref, *, k: int):
+    """out[d, n] = Σ_j (ch[n, j] == d) · vals[n, j] for one column block."""
+    vals = vals_ref[:]                            # [Bn, k_pad]
+    ch = ch_ref[:]                                # [Bn, k_pad]
+    dim = out_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (dim, vals.shape[0]), 0)
+    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for j in range(k):
+        hit = (iota == ch[None, :, j]).astype(out_ref.dtype)
+        acc = acc + hit * vals[None, :, j].astype(out_ref.dtype)
+    out_ref[:] = acc
+
+
+def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
+                      n_cols: int, *, out_dtype=jnp.float32,
+                      col_block: int = 512,
+                      interpret: bool = False) -> jax.Array:
+    """CBSR → transposed dense [dim, n_cols] as a Pallas kernel.
+
+    One pass over the output entirely in VMEM — replaces the XLA scatter
+    (ops.cbsr_to_dense) and a k-deep unfused compare-accumulate chain, both of
+    which round-trip HBM per term.
+    """
+    n, k = values.shape
+    if n_cols % col_block:
+        raise ValueError("n_cols must be a multiple of col_block")
+    pad = n_cols - n
+    if pad:
+        values = jnp.pad(values, ((0, pad), (0, 0)))
+        channels = jnp.pad(channels, ((0, pad), (0, 0)), constant_values=-1)
+    k_pad = -(-k // LANES) * LANES
+    if k_pad != k:
+        values = jnp.pad(values, ((0, 0), (0, k_pad - k)))
+        channels = jnp.pad(channels, ((0, 0), (0, k_pad - k)),
+                           constant_values=-1)
+    kernel = functools.partial(_densify_t_kernel, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cols // col_block,),
+        in_specs=[pl.BlockSpec((col_block, k_pad), lambda i: (i, 0)),
+                  pl.BlockSpec((col_block, k_pad), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((dim, col_block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dim, n_cols), out_dtype),
+        interpret=interpret,
+    )(values, channels)
+
+
 def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
                  *, acc_dtype=jnp.float32, interpret: bool = False
                  ) -> jax.Array:
