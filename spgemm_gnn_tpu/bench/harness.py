@@ -22,12 +22,13 @@ from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
 
 
 def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8) -> float:
-    """Seconds per iteration of `step` (x -> x-like), data-dependence chained."""
-    # warm (compile) + sync
-    x = step(x0)
+    """Seconds per iteration of `step` (x -> x-like), data-dependence chained.
+
+    The timed chain continues from the warm-up output (never reuses x0, which
+    a donating step may have consumed)."""
+    x = step(x0)   # warm (compile) + sync
     _ = float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
     t0 = time.perf_counter()
-    x = x0
     for _ in range(iters):
         x = step(x)
     _ = float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])

@@ -36,10 +36,13 @@ def powerlaw_graph(num_nodes: int, num_edges: int, *, alpha: float = 1.5,
     slightly below `num_edges` before symmetrisation.
     """
     rng = np.random.default_rng(seed)
-    # Zipf-ish endpoint distribution over node ranks
+    # Zipf-ish endpoint distribution over node ranks, sampled by inverse-CDF
+    # (np.random.choice with p is far slower at 10M+ samples)
     p = (np.arange(1, num_nodes + 1, dtype=np.float64)) ** (-1.0 / alpha)
-    p /= p.sum()
-    src = rng.choice(num_nodes, size=num_edges, p=p)
+    cdf = np.cumsum(p)
+    cdf /= cdf[-1]
+    u = rng.random(num_edges)
+    src = np.searchsorted(cdf, u).astype(np.int64)
     dst = rng.integers(0, num_nodes, num_edges, dtype=np.int64)
     keep = src != dst
     return to_undirected(src[keep], dst[keep], num_nodes)

@@ -106,11 +106,15 @@ def _densify_t_kernel(vals_ref, ch_ref, out_ref, *, k: int):
     vals = vals_ref[:]                            # [Bn, k_pad]
     ch = ch_ref[:]                                # [Bn, k_pad]
     dim = out_ref.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (dim, vals.shape[0]), 0)
+    bn = vals.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (dim, bn), 0)
     acc = jnp.zeros(out_ref.shape, out_ref.dtype)
     for j in range(k):
-        hit = (iota == ch[None, :, j]).astype(out_ref.dtype)
-        acc = acc + hit * vals[None, :, j].astype(out_ref.dtype)
+        # static lane slice + reshape (mixed fancy indexing lowers to an
+        # unsupported gather in Mosaic)
+        ch_j = ch[:, j:j + 1].reshape(1, bn)
+        v_j = vals[:, j:j + 1].reshape(1, bn).astype(out_ref.dtype)
+        acc = acc + (iota == ch_j).astype(out_ref.dtype) * v_j
     out_ref[:] = acc
 
 
@@ -125,8 +129,10 @@ def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
     which round-trip HBM per term.
     """
     n, k = values.shape
-    if n_cols % col_block:
-        raise ValueError("n_cols must be a multiple of col_block")
+    while n_cols % col_block:
+        col_block //= 2
+    if col_block < 8:
+        raise ValueError(f"n_cols={n_cols} has no usable column block")
     pad = n_cols - n
     if pad:
         values = jnp.pad(values, ((0, pad), (0, 0)))

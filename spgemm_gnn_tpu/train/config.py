@@ -42,6 +42,8 @@ class TrainConfig:
     mesh_shape: int = 1                  # number of devices for data layout
     log_every: int = 1
     tensorboard: bool = False
+    timing: bool = False                 # report aggregation-% (Amdahl stat)
+    profile: str | None = None           # dir → capture a jax.profiler trace
 
     def print_params(self, prtf=print) -> None:
         prtf("")
@@ -94,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--timing", action="store_true",
+                   help="measure aggregation share of the train step")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of a few steps to DIR")
     return p
 
 

@@ -42,11 +42,36 @@ def main(argv=None):
             writer.add_scalar("train/val_acc", rec.val_acc, rec.epoch)
             writer.add_scalar("train/test_acc", rec.test_acc, rec.epoch)
 
+    if config.profile:
+        # capture a few steps under the profiler before the real run
+        import jax
+        state = trainer.init_state()
+        rng = jax.random.PRNGKey(0)
+        state, _ = trainer.train_step(state, rng)   # compile outside trace
+        with jax.profiler.trace(config.profile):
+            for i in range(3):
+                state, loss = trainer.train_step(
+                    state, jax.random.fold_in(rng, i))
+            jax.block_until_ready(loss)
+        logger.info("profiler trace written to %s", config.profile)
+
     results = trainer.run(on_epoch=on_epoch)
     logger.info("Best val accuracy: %.4f (epoch %d)",
                 results["best_val_accuracy"], results["best_epoch"])
     logger.info("Best test accuracy: %.4f", results["best_test_accuracy"])
     logger.info("Total training time: %.1fs", results["wall_time_s"])
+
+    if config.timing:
+        # aggregation share of a training step — the Amdahl stat the reference
+        # reports (maxk_gnn_dgl.py:150-153)
+        from spgemm_gnn_tpu.utils.timing import measure_aggregation_fraction
+        stats = measure_aggregation_fraction(trainer)
+        logger.info("Train step time: %.4fs", stats["step_s"])
+        logger.info("Forward+backward aggregation time: %.4fs",
+                    stats["aggregation_s"])
+        logger.info("Aggregation percentage: %.2f%%",
+                    stats["aggregation_pct"])
+        results["aggregation_stats"] = stats
 
     summary = {k: results[k] for k in
                ("best_val_accuracy", "best_test_accuracy", "best_epoch",
