@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Kernel benchmark CLI — the reference's standalone `maxk_kernel_test` harness
+(kernels/main.cu, README.md:97-131): sweep k × implementations over a graph
+corpus, validate against the XLA oracle, and print timings.
+
+Usage:
+  python kernel_bench.py                       # default synthetic corpus
+  python kernel_bench.py --graphs reddit yelp  # real graphs (npz in --data_path)
+  python kernel_bench.py --k 8 16 32 64 --dim 256 --impls xla pallas
+  python kernel_bench.py --cpu                 # interpret-mode smoke
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# synthetic corpus approximating the reference's 24-graph suite regimes
+# (SURVEY.md §6: 4.3K–2.45M nodes, 99K–124M edges)
+SYNTH_CORPUS = {
+    "synth-small-dense": (10_000, 1_000_000),
+    "synth-mid-dense": (60_000, 6_000_000),
+    "synth-mid-sparse": (200_000, 2_000_000),
+    "synth-reddit-like": (232_965, 25_000_000),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", nargs="*", default=["synth-mid-dense"],
+                    help=f"graph names: {list(SYNTH_CORPUS)} or dataset names")
+    ap.add_argument("--k", nargs="*", type=int, default=[8, 16, 32, 64])
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--impls", nargs="*", default=["xla", "pallas"])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--data_path", default="./data")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--validate", action="store_true",
+                    help="check pallas vs xla allclose before timing")
+    ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        args.graphs = ["synth-tiny"]
+        SYNTH_CORPUS["synth-tiny"] = (2_000, 20_000)
+
+    import jax
+    import jax.numpy as jnp
+    from spgemm_gnn_tpu.bench.harness import time_chained
+    from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
+    from spgemm_gnn_tpu.kernels.api import aggregate_cbsr
+    from spgemm_gnn_tpu.kernels.planned import plan_graph
+    from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    for gname in args.graphs:
+        if gname in SYNTH_CORPUS:
+            n, e = SYNTH_CORPUS[gname]
+            g = powerlaw_graph(n, e // 2, seed=0)
+        else:
+            from spgemm_gnn_tpu.graphs.datasets import load_dataset
+            g = load_dataset(gname, args.data_path).graph
+        pg = plan_graph(g)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
+                                            dtype=np.float32))
+        ct = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
+                                             dtype=np.float32))
+        header = (f"# {gname}: N={g.num_nodes} E={g.num_edges} "
+                  f"avg_deg={g.num_edges/g.num_nodes:.1f} "
+                  f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window}")
+        print(header, file=sys.stderr, flush=True)
+
+        for k in args.k:
+            vals, ch = maxk_cbsr(x, k)
+            row = {"graph": gname, "k": k, "dim": args.dim,
+                   "edges": g.num_edges}
+            for impl in args.impls:
+                graph = pg if impl == "pallas" else g
+                try:
+                    fwd = jax.jit(lambda v, c, gr: aggregate_cbsr(
+                        gr, v, c, args.dim, "mean", impl))
+                    if args.validate and impl != "xla":
+                        y = fwd(vals, ch, graph)
+                        y0 = jax.jit(lambda v, c, gr: aggregate_cbsr(
+                            gr, v, c, args.dim, "mean", "xla"))(vals, ch, g)
+                        err = float(jnp.max(jnp.abs(y - y0)) /
+                                    (1e-6 + jnp.max(jnp.abs(y0))))
+                        row[f"{impl}_err"] = round(err, 6)
+
+                    def fstep(v, _f=fwd, _g=graph):
+                        return v + _f(v, ch, _g)[:, :k] * 1e-9
+
+                    t_f = time_chained(fstep, vals, args.iters)
+
+                    bwd = jax.jit(jax.grad(lambda v, c, gr, co: (
+                        aggregate_cbsr(gr, v, c, args.dim, "mean", impl)
+                        * co).sum()))
+
+                    def bstep(v, _b=bwd, _g=graph):
+                        return v + _b(v, ch, _g, ct) * 1e-9
+
+                    t_b = time_chained(bstep, vals, args.iters)
+                    row[f"{impl}_fwd_ms"] = round(t_f * 1e3, 3)
+                    row[f"{impl}_bwd_ms"] = round(t_b * 1e3, 3)
+                    row[f"{impl}_gedges"] = round(
+                        2 * g.num_edges / (t_f + t_b) / 1e9, 4)
+                except Exception as exc:
+                    row[f"{impl}_error"] = f"{type(exc).__name__}: {exc}"[:120]
+            if args.json:
+                print(json.dumps(row), flush=True)
+            else:
+                parts = [f"k={k:3d}"]
+                for impl in args.impls:
+                    if f"{impl}_fwd_ms" in row:
+                        parts.append(
+                            f"{impl}: fwd {row[f'{impl}_fwd_ms']:8.2f}ms "
+                            f"bwd {row[f'{impl}_bwd_ms']:8.2f}ms "
+                            f"({row[f'{impl}_gedges']:.3f} Ge/s)")
+                    else:
+                        parts.append(f"{impl}: ERROR")
+                if "pallas_gedges" in row and "xla_gedges" in row:
+                    parts.append(
+                        f"speedup {row['pallas_gedges']/max(row['xla_gedges'],1e-9):.2f}x")
+                print("  ".join(parts), flush=True)
+
+
+if __name__ == "__main__":
+    main()
