@@ -90,7 +90,7 @@ def auto_window(num_nodes: int, num_edges: int, src_block: int) -> int:
 
 
 def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
-                    *, tile_slots: int = 1024, src_block: int = 1024,
+                    *, tile_slots: int = 1024, src_block: int = 256,
                     dst_block: int = 4096, window: int | None = None,
                     use_native: bool = True) -> TilePlan:
     """Build a TilePlan from an (in-)CSR structure.
@@ -217,7 +217,7 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
 
 
 def plan_for_graph(g, *, transpose: bool = False, tile_slots: int = 1024,
-                   src_block: int = 1024, dst_block: int = 4096,
+                   src_block: int = 256, dst_block: int = 4096,
                    window: int | None = None) -> TilePlan:
     """TilePlan for a Graph's forward (in-CSR) or transpose (out-CSR) edges.
 

@@ -63,7 +63,7 @@ class PlannedGraph:
         return self.graph.t_edge_dst
 
 
-def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 1024,
+def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
                dst_block: int = 4096,
                window: int | None = None) -> PlannedGraph:
     """Build both plans for a graph (host-side, once; the generate_meta role)."""

@@ -73,7 +73,7 @@ def _slab_gather(xt, idx):
 
 def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
                  xt_ref, e_src_ref, e_dst_ref,   # VMEM blocks
-                 out_ref, *, window: int, acc_dtype):
+                 out_ref, *, window: int, acc_dtype, mxu_dtype):
     i = pl.program_id(0)
 
     @pl.when(_first_visit(i, ws_dst_ref))
@@ -93,9 +93,9 @@ def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
         w0 = pl.multiple_of(w0, 8)
         rel = rows - w0                          # [C] in [0, RW)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
-                  == rel[None, :]).astype(xt.dtype)
+                  == rel[None, :]).astype(mxu_dtype)
         contrib = jax.lax.dot_general(
-            onehot, msgs_t, (((1,), (1,)), ((), ())),
+            onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=acc_dtype)     # [RW, dim]
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
@@ -155,8 +155,8 @@ def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
 
 
 def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
-                 *, acc_dtype=jnp.float32, interpret: bool = False
-                 ) -> jax.Array:
+                 *, acc_dtype=jnp.float32, mxu_dtype=None,
+                 interpret: bool = False) -> jax.Array:
     """y = A @ X over the plan, X given transposed.
 
     xt_padded: [dim, plan.padded_src] (any float dtype; bf16 halves the HBM
@@ -173,7 +173,11 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     if dim % 8:
         raise ValueError("dim must be a multiple of 8")
 
-    kernel = functools.partial(_spmm_kernel, window=RW, acc_dtype=acc_dtype)
+    # the one-hot left operand is exact in bf16, so mxu_dtype=bf16 halves the
+    # MXU passes at the cost of rounding the messages to 8-bit mantissa (the
+    # reference runs TF32 matmuls — maxk_gnn_dgl.py:30)
+    kernel = functools.partial(_spmm_kernel, window=RW, acc_dtype=acc_dtype,
+                               mxu_dtype=mxu_dtype or xt_padded.dtype)
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.
