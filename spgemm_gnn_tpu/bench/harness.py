@@ -21,13 +21,22 @@ from spgemm_gnn_tpu.kernels.planned import plan_graph
 from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
 
 
-def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8) -> float:
+def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8,
+                 max_seconds: float = 20.0) -> float:
     """Seconds per iteration of `step` (x -> x-like), data-dependence chained.
 
     The timed chain continues from the warm-up output (never reuses x0, which
-    a donating step may have consumed)."""
+    a donating step may have consumed). If a single warm iteration exceeds
+    max_seconds/iters, fewer timed iterations are used (slow-baseline guard).
+    """
     x = step(x0)   # warm (compile) + sync
     _ = float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+    t0 = time.perf_counter()
+    x = step(x)
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+    t1 = time.perf_counter() - t0
+    if t1 * iters > max_seconds:
+        iters = max(int(max_seconds / max(t1, 1e-9)), 1)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x)

@@ -149,6 +149,15 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
     from spgemm_gnn_tpu.parallel.sharded import ShardedGraph, sharded_spmm
     if isinstance(g, ShardedGraph):
         return sharded_spmm(g, x, norm, k=k)
+    from spgemm_gnn_tpu.kernels.planned import PlannedGraph, planned_aggregate
+    if isinstance(g, PlannedGraph):
+        fill = min(g.fwd_plan.fill, g.bwd_plan.fill)
+        if impl == "pallas" or (impl == "auto" and fill >= 0.2):
+            # fast path: aggregation is linear in x, so fwd/bwd are the plan
+            # kernel and its transpose — no CBSR extraction round-trip. MaxK's
+            # own VJP applies the top-k mask to the dense cotangent.
+            return planned_aggregate(g, x, norm)
+        g = g.graph
     if k is None or k >= x.shape[-1]:
         return _dense_spmm(g, x, norm)
     # Recover CBSR from the masked-dense MaxK output: the support is the set of

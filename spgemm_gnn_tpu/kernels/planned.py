@@ -140,3 +140,45 @@ def sspmm_backward(g_ct, channels, src_f, dst_f, plans,
     z = _planned_dense_spmm(bwd_plan, gy, stream_dtype)   # [N, dim] = Aᵀ·gy
     dv = jnp.take_along_axis(z, channels, axis=-1)        # sample k channels
     return _scale(dv, src_f)
+
+
+# ---------------------------------------------------------------------------
+# direct dense aggregation (the fast path the models use)
+# ---------------------------------------------------------------------------
+# When the layer holds the MaxK-masked *dense* activations, the CBSR
+# extraction → densify → channel-sampling round-trip is pure overhead on a
+# single chip: the aggregation is linear, so its VJP is simply the transpose
+# product, and MaxK's own VJP applies the top-k mask to the incoming dense
+# cotangent. CBSR stays essential where it pays: the multi-chip collective
+# (parallel/sharded.py) and the explicit aggregate_cbsr API.
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _planned_aggregate(x, src_f, dst_f, plans):
+    return _planned_aggregate_fwd(x, src_f, dst_f, plans)[0]
+
+
+def _planned_aggregate_fwd(x, src_f, dst_f, plans):
+    fwd_plan, _ = plans
+    y = _planned_dense_spmm(fwd_plan, _scale(x, src_f), x.dtype)
+    return _scale(y, dst_f), (src_f, dst_f, plans)
+
+
+def _planned_aggregate_bwd(res, g):
+    src_f, dst_f, plans = res
+    _, bwd_plan = plans
+    dx = _planned_dense_spmm(bwd_plan, _scale(g, dst_f), g.dtype)
+    return (_scale(dx, src_f), None, None, None)
+
+
+_planned_aggregate.defvjp(_planned_aggregate_fwd, _planned_aggregate_bwd)
+
+
+def planned_aggregate(pg: PlannedGraph, x: jax.Array,
+                      norm: str = "sum") -> jax.Array:
+    """y = A_w · x through the Pallas kernel pair (fwd + transpose-bwd)."""
+    from spgemm_gnn_tpu.ops.norms import node_factors
+    src_f, dst_f = node_factors(pg, norm)
+    return _planned_aggregate(x, src_f, dst_f, (pg.fwd_plan, pg.bwd_plan))

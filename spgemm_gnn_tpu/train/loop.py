@@ -79,8 +79,9 @@ class Trainer:
             self.masks = tuple(pad_put(m, False) for m in
                                (dataset.train_mask, dataset.val_mask,
                                 dataset.test_mask))
-        elif config.impl in ("pallas", "auto") and config.nonlinear == "maxk":
+        elif config.impl in ("pallas", "auto"):
             # single device: attach tile plans so the Pallas kernels engage
+            # (the planned kernel accelerates the ReLU-dense path too)
             from spgemm_gnn_tpu.kernels.planned import plan_graph
             self.g = plan_graph(dataset.graph)
             self.features = jnp.asarray(dataset.features, dtype)
