@@ -53,15 +53,22 @@ def main():
     from spgemm_gnn_tpu.bench.harness import bench_aggregation
 
     t0 = time.perf_counter()
-    impls = ["xla", "pallas"]
     try:
-        res = bench_aggregation(n, e, args.dim, args.k, impls=impls,
-                                iters=args.iters)
+        res = bench_aggregation(n, e, args.dim, args.k,
+                                impls=["xla", "pallas"], iters=args.iters)
     except Exception as exc:  # pallas not viable → baseline-only fallback
         log(f"pallas bench failed ({type(exc).__name__}: {exc}); "
             f"falling back to xla only")
-        res = bench_aggregation(n, e, args.dim, args.k, impls=["xla"],
-                                iters=args.iters)
+        try:
+            res = bench_aggregation(n, e, args.dim, args.k, impls=["xla"],
+                                    iters=args.iters)
+        except Exception as exc2:
+            log(f"xla bench failed too ({type(exc2).__name__}: {exc2})")
+            print(json.dumps({
+                "metric": f"maxk_spgemm_aggregation_{args.scale}_k{args.k}",
+                "value": 0.0, "unit": "Gedges/s", "vs_baseline": 0.0,
+            }), flush=True)
+            return
     log(f"bench done in {time.perf_counter()-t0:.1f}s: {res}")
 
     xla = res["xla"]

@@ -16,9 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
-from spgemm_gnn_tpu.kernels.api import aggregate_cbsr
+
 from spgemm_gnn_tpu.kernels.planned import plan_graph
-from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
+
 
 
 def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8,
@@ -52,39 +52,44 @@ def bench_aggregation(n_nodes: int, n_edges: int, dim: int, k: int,
 
     Returns {impl: {fwd_s, bwd_s, fwd_gedges, bwd_gedges}, meta...}.
     """
+    from spgemm_gnn_tpu.ops.maxk import maxk
+
     g = powerlaw_graph(n_nodes, n_edges // 2, seed=seed)
     pg = plan_graph(g, **(plan_kw or {}))
     rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
-    vals, ch = maxk_cbsr(x, k)
+    x0 = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    xk = maxk(x0, k)   # the masked-dense activations the models aggregate
     ct = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
     out: dict[str, Any] = {"num_nodes": g.num_nodes, "num_edges": g.num_edges,
                            "dim": dim, "k": k,
                            "fwd_fill": pg.fwd_plan.fill,
                            "bwd_fill": pg.bwd_plan.fill}
 
+    from spgemm_gnn_tpu.kernels.api import aggregate
+
     for impl in impls:
         graph = pg if impl == "pallas" else g
 
-        # graph/channels/cotangent are jit arguments, not closures (closures
-        # embed as HLO constants — breaks the remote-compile TPU path)
+        # graph/cotangent are jit arguments, not closures (closures embed as
+        # HLO constants — breaks the remote-compile TPU path). This measures
+        # the model-level path: aggregate() on MaxK-masked dense activations.
         fwd = jax.jit(
-            lambda v, c, gr: aggregate_cbsr(gr, v, c, dim, norm, impl))
+            lambda xv, gr: aggregate(gr, xv, norm=norm, k=k, impl=impl))
 
-        def fwd_step(v):
-            y = fwd(v, ch, graph)
-            return v + y[:, :k] * 1e-9
+        def fwd_step(xv):
+            y = fwd(xv, graph)
+            return xv + y * 1e-9
 
-        t_fwd = time_chained(fwd_step, vals, iters)
+        t_fwd = time_chained(fwd_step, xk, iters)
 
         bwd = jax.jit(jax.grad(
-            lambda v, c, gr, cot: (aggregate_cbsr(gr, v, c, dim, norm, impl)
-                                   * cot).sum()))
+            lambda xv, gr, cot: (aggregate(gr, xv, norm=norm, k=k, impl=impl)
+                                 * cot).sum()))
 
-        def bwd_step(v):
-            return v + bwd(v, ch, graph, ct) * 1e-9
+        def bwd_step(xv):
+            return xv + bwd(xv, graph, ct) * 1e-9
 
-        t_bwd = time_chained(bwd_step, vals, iters)
+        t_bwd = time_chained(bwd_step, xk, iters)
         out[impl] = {
             "fwd_s": t_fwd, "bwd_s": t_bwd,
             "fwd_gedges": g.num_edges / t_fwd / 1e9,

@@ -55,8 +55,8 @@ def _sspmm_backward_xla(g, channels, src_f, dst_f, t_indices, t_edge_dst):
     gy = _scale(g, dst_f)
     # per transpose-order edge e': source v = t_edge_dst[e'], dest u = t_indices[e']
     ch_e = jnp.take(channels, t_edge_dst, axis=0)            # [E, k]
-    rows = jnp.take(gy, t_indices, axis=0)                   # [E, dim]
-    m = jnp.take_along_axis(rows, ch_e, axis=-1)             # [E, k] sampled
+    # one fused 2-D gather — never materialises the [E, dim] dense rows
+    m = gy[t_indices[:, None], ch_e]                         # [E, k] sampled
     dv = jax.ops.segment_sum(m, t_edge_dst, num_segments=num_nodes,
                              indices_are_sorted=True)
     return _scale(dv, src_f)

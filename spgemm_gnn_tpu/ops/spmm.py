@@ -21,10 +21,27 @@ def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
 
 
+# cap on the materialised [E, dim_slab] message buffer (the gather+segment_sum
+# formulation materialises per-edge messages in HBM; at Reddit scale E·dim·4
+# bytes would exceed the chip — chunk the feature dim instead)
+_MSG_BYTES_CAP = 2 << 30
+
+
 def _gather_segsum(indices, edge_dst, num_nodes, x):
-    msgs = jnp.take(x, indices, axis=0)
-    return jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes,
-                               indices_are_sorted=True)
+    e = indices.shape[0]
+    dim = x.shape[-1]
+    slab = max(int(_MSG_BYTES_CAP // max(e * 4, 1)), 1)
+    if slab >= dim:
+        msgs = jnp.take(x, indices, axis=0)
+        return jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes,
+                                   indices_are_sorted=True)
+    outs = []
+    for lo in range(0, dim, slab):
+        msgs = jnp.take(x[:, lo:lo + slab], indices, axis=0)
+        outs.append(jax.ops.segment_sum(msgs, edge_dst,
+                                        num_segments=num_nodes,
+                                        indices_are_sorted=True))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def spmm(g, x: jax.Array, norm: str = "sum") -> jax.Array:
