@@ -50,35 +50,51 @@ def main():
     log(f"devices: {jax.devices()}")
     n, e = SCALES[args.scale]
 
-    from spgemm_gnn_tpu.bench.harness import bench_aggregation
+    from spgemm_gnn_tpu.bench import harness
 
     t0 = time.perf_counter()
-    try:
-        res = bench_aggregation(n, e, args.dim, args.k,
-                                impls=["xla", "pallas"], iters=args.iters)
-    except Exception as exc:  # pallas not viable → baseline-only fallback
-        log(f"pallas bench failed ({type(exc).__name__}: {exc}); "
-            f"falling back to xla only")
-        try:
-            res = bench_aggregation(n, e, args.dim, args.k, impls=["xla"],
-                                    iters=args.iters)
-        except Exception as exc2:
-            log(f"xla bench failed too ({type(exc2).__name__}: {exc2})")
-            print(json.dumps({
-                "metric": f"maxk_spgemm_aggregation_{args.scale}_k{args.k}",
-                "value": 0.0, "unit": "Gedges/s", "vs_baseline": 0.0,
-            }), flush=True)
-            return
-    log(f"bench done in {time.perf_counter()-t0:.1f}s: {res}")
+    g, pg, xk, ct = harness._bench_inputs(n, e, args.dim, args.k, 0, None)
+    log(f"graph N={g.num_nodes} E={g.num_edges} "
+        f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window} "
+        f"({time.perf_counter()-t0:.0f}s)")
 
-    xla = res["xla"]
-    xla_eps = 2.0 / (1.0 / xla["fwd_gedges"] + 1.0 / xla["bwd_gedges"])
+    res = {}
+    try:  # pallas first: its number must survive a baseline failure
+        res["pallas"] = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
+                                           "mean", "pallas", args.iters)
+        log(f"pallas: {res['pallas']}")
+    except Exception as exc:
+        log(f"pallas bench failed ({type(exc).__name__}: {exc})")
+
+    try:
+        if g.num_edges > harness.XLA_BASELINE_EDGE_CAP:
+            scale = harness.XLA_BASELINE_EDGE_CAP / e
+            gs, pgs, xks, cts = harness._bench_inputs(
+                max(int(n * scale), 1024), harness.XLA_BASELINE_EDGE_CAP,
+                args.dim, args.k, 0, None)
+            log(f"xla baseline on subsampled graph E={gs.num_edges} "
+                f"(linear-in-E formulation; reporting per-edge rate)")
+            res["xla"] = harness.bench_impl(gs, pgs, xks, cts, args.dim,
+                                            args.k, "mean", "xla", args.iters)
+        else:
+            res["xla"] = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
+                                            "mean", "xla", args.iters)
+        log(f"xla: {res['xla']}")
+    except Exception as exc:
+        log(f"xla bench failed ({type(exc).__name__}: {exc})")
+
+    log(f"bench done in {time.perf_counter()-t0:.1f}s")
+
+    def rate(r):
+        return 2.0 / (1.0 / r["fwd_gedges"] + 1.0 / r["bwd_gedges"])
+
     if "pallas" in res:
-        pal = res["pallas"]
-        eps = 2.0 / (1.0 / pal["fwd_gedges"] + 1.0 / pal["bwd_gedges"])
-        vs = eps / xla_eps
+        eps = rate(res["pallas"])
+        vs = eps / rate(res["xla"]) if "xla" in res else 0.0
+    elif "xla" in res:
+        eps, vs = rate(res["xla"]), 1.0
     else:
-        eps, vs = xla_eps, 1.0
+        eps, vs = 0.0, 0.0
 
     print(json.dumps({
         "metric": f"maxk_spgemm_aggregation_{args.scale}_k{args.k}",

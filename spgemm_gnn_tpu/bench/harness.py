@@ -44,6 +44,54 @@ def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8,
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_inputs(n_nodes: int, n_edges: int, dim: int, k: int, seed: int,
+                  plan_kw: dict | None):
+    from spgemm_gnn_tpu.ops.maxk import maxk
+    g = powerlaw_graph(n_nodes, n_edges // 2, seed=seed)
+    pg = plan_graph(g, **(plan_kw or {}))
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    xk = maxk(x0, k)   # the masked-dense activations the models aggregate
+    ct = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    return g, pg, xk, ct
+
+
+def bench_impl(g, pg, xk, ct, dim: int, k: int, norm: str, impl: str,
+               iters: int = 8) -> dict[str, float]:
+    """Time fwd/bwd of the model-level aggregate() for one implementation.
+
+    Graph/cotangent are jit arguments, not closures (closures embed as HLO
+    constants — breaks the remote-compile TPU path)."""
+    from spgemm_gnn_tpu.kernels.api import aggregate
+    graph = pg if impl == "pallas" else g
+
+    fwd = jax.jit(lambda xv, gr: aggregate(gr, xv, norm=norm, k=k, impl=impl))
+
+    def fwd_step(xv):
+        return xv + fwd(xv, graph) * 1e-9
+
+    t_fwd = time_chained(fwd_step, xk, iters)
+
+    bwd = jax.jit(jax.grad(
+        lambda xv, gr, cot: (aggregate(gr, xv, norm=norm, k=k, impl=impl)
+                             * cot).sum()))
+
+    def bwd_step(xv):
+        return xv + bwd(xv, graph, ct) * 1e-9
+
+    t_bwd = time_chained(bwd_step, xk, iters)
+    return {"fwd_s": t_fwd, "bwd_s": t_bwd,
+            "fwd_gedges": g.num_edges / t_fwd / 1e9,
+            "bwd_gedges": g.num_edges / t_bwd / 1e9}
+
+
+# edge cap for the XLA baseline: its gather/scatter formulation materialises
+# O(E·dim) buffers and cannot run Reddit-scale graphs in 16 GB HBM. Above the
+# cap the baseline is measured on a same-structure smaller graph and reported
+# per-edge (the formulation is linear in E).
+XLA_BASELINE_EDGE_CAP = 12_000_000
+
+
 def bench_aggregation(n_nodes: int, n_edges: int, dim: int, k: int,
                       impls=("xla", "pallas"), norm: str = "mean",
                       iters: int = 8, seed: int = 0,
@@ -52,49 +100,27 @@ def bench_aggregation(n_nodes: int, n_edges: int, dim: int, k: int,
 
     Returns {impl: {fwd_s, bwd_s, fwd_gedges, bwd_gedges}, meta...}.
     """
-    from spgemm_gnn_tpu.ops.maxk import maxk
-
-    g = powerlaw_graph(n_nodes, n_edges // 2, seed=seed)
-    pg = plan_graph(g, **(plan_kw or {}))
-    rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
-    xk = maxk(x0, k)   # the masked-dense activations the models aggregate
-    ct = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    g, pg, xk, ct = _bench_inputs(n_nodes, n_edges, dim, k, seed, plan_kw)
     out: dict[str, Any] = {"num_nodes": g.num_nodes, "num_edges": g.num_edges,
                            "dim": dim, "k": k,
                            "fwd_fill": pg.fwd_plan.fill,
                            "bwd_fill": pg.bwd_plan.fill}
-
-    from spgemm_gnn_tpu.kernels.api import aggregate
-
     for impl in impls:
-        graph = pg if impl == "pallas" else g
-
-        # graph/cotangent are jit arguments, not closures (closures embed as
-        # HLO constants — breaks the remote-compile TPU path). This measures
-        # the model-level path: aggregate() on MaxK-masked dense activations.
-        fwd = jax.jit(
-            lambda xv, gr: aggregate(gr, xv, norm=norm, k=k, impl=impl))
-
-        def fwd_step(xv):
-            y = fwd(xv, graph)
-            return xv + y * 1e-9
-
-        t_fwd = time_chained(fwd_step, xk, iters)
-
-        bwd = jax.jit(jax.grad(
-            lambda xv, gr, cot: (aggregate(gr, xv, norm=norm, k=k, impl=impl)
-                                 * cot).sum()))
-
-        def bwd_step(xv):
-            return xv + bwd(xv, graph, ct) * 1e-9
-
-        t_bwd = time_chained(bwd_step, xk, iters)
-        out[impl] = {
-            "fwd_s": t_fwd, "bwd_s": t_bwd,
-            "fwd_gedges": g.num_edges / t_fwd / 1e9,
-            "bwd_gedges": g.num_edges / t_bwd / 1e9,
-        }
+        if impl == "xla" and g.num_edges > XLA_BASELINE_EDGE_CAP:
+            scale = XLA_BASELINE_EDGE_CAP / n_edges
+            gs, pgs, xks, cts = _bench_inputs(
+                max(int(n_nodes * scale), 1024), XLA_BASELINE_EDGE_CAP,
+                dim, k, seed, plan_kw)
+            r = bench_impl(gs, pgs, xks, cts, dim, k, norm, impl, iters)
+            # report per-edge rates (times rescaled to the full edge count)
+            ratio = g.num_edges / gs.num_edges
+            out[impl] = {"fwd_s": r["fwd_s"] * ratio,
+                         "bwd_s": r["bwd_s"] * ratio,
+                         "fwd_gedges": r["fwd_gedges"],
+                         "bwd_gedges": r["bwd_gedges"],
+                         "subsampled_edges": gs.num_edges}
+        else:
+            out[impl] = bench_impl(g, pg, xk, ct, dim, k, norm, impl, iters)
     return out
 
 
