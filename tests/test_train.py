@@ -64,3 +64,21 @@ def test_selfloop_flag():
     loops = np.zeros(g.num_nodes, bool)
     loops[a_src[a_src == a_dst]] = True
     assert loops.all()
+
+
+def test_pallas_impl_trains():
+    """End-to-end Trainer with the Pallas aggregation path (interpret mode)."""
+    cfg = tiny_config(nonlinear="maxk", impl="pallas", epochs=4, eval_every=2,
+                      synthetic_scale=0.002, hidden_dim=16, maxk=4)
+    from spgemm_gnn_tpu.kernels.planned import PlannedGraph
+    tr = Trainer(cfg)
+    assert isinstance(tr.g, PlannedGraph)
+    res = tr.run()
+    assert np.isfinite(res["history"][-1].loss)
+
+
+def test_bf16_dtype_trains():
+    cfg = tiny_config(dtype="bfloat16", epochs=6, eval_every=3)
+    res = Trainer(cfg).run()
+    assert np.isfinite(res["history"][-1].loss)
+    assert res["history"][-1].loss < res["history"][0].loss
