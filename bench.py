@@ -26,7 +26,9 @@ SCALES = {
     "micro": (2_000, 20_000),         # interpret-mode smoke only
     "tiny": (20_000, 400_000),
     "small": (60_000, 3_000_000),
-    "medium": (232_965, 30_000_000),
+    # quarter-Reddit nodes at full Reddit average degree (~492): kernel
+    # behaviour tracks density (edges per row/src-block), not raw edge count
+    "medium": (58_241, 28_650_000),
     "full": (232_965, 114_000_000),   # Reddit-scale
 }
 
