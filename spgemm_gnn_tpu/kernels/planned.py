@@ -19,7 +19,6 @@ from flax import struct
 from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.tiles import TilePlan, plan_for_graph
 from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_transpose, planned_spmm
-from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
 
 
 @struct.dataclass
@@ -92,30 +91,6 @@ def _planned_dense_spmm(plan: TilePlan, x: jax.Array,
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     y = planned_spmm(plan, xt, interpret=_interpret())
     return y[:n]
-
-
-def cbsr_to_dense_t(values: jax.Array, channels: jax.Array, dim: int,
-                    n_cols: int | None = None,
-                    dtype=None) -> jax.Array:
-    """CBSR → TRANSPOSED dense [dim, N] by k fused compare-accumulate passes.
-
-    Avoids the XLA scatter of ops.cbsr_to_dense (slow on TPU) and the
-    subsequent transpose: XLA fuses the k adds into one pass over the output.
-    Optionally right-pads columns to `n_cols`.
-    """
-    n, k = values.shape
-    dtype = dtype or values.dtype
-    n_out = n_cols or n
-    if n_out != n:
-        values = jnp.pad(values, ((0, n_out - n), (0, 0)))
-        channels = jnp.pad(channels, ((0, n_out - n), (0, 0)),
-                           constant_values=-1)   # -1 never matches a channel
-    iota = jnp.arange(dim, dtype=jnp.int32)[:, None]           # [dim, 1]
-    out = jnp.zeros((dim, n_out), dtype)
-    for j in range(k):
-        hit = iota == channels[None, :, j]                     # [dim, N]
-        out = out + hit * values[None, :, j].astype(dtype)
-    return out
 
 
 def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
