@@ -78,6 +78,7 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
                       int64_t num_nodes, int64_t S, int64_t C, int64_t RW,
                       int64_t B, int64_t R) {
   if (S % C) return -1;
+  if (B > 32767 || R > 32767) return -1;  // int16 slot encoding
   PlanState& st = g_state;
   st = PlanState();
   st.S = S; st.C = C; st.RW = RW; st.B = B; st.R = R;
@@ -179,12 +180,12 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
 // Padding slots carry e_src_local = -1 (the kernels derive the valid mask from
 // the sentinel) and e_dst_local = the chunk's window-start row.
 int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
-                 int32_t* e_src_local, int32_t* e_dst_local) {
+                 int16_t* e_src_local, int16_t* e_dst_local) {
   PlanState& st = g_state;
   int64_t W = (int64_t)st.tile_dblk.size();
   int64_t S = st.S, C = st.C;
-  std::fill(e_src_local, e_src_local + W * S, -1);
-  std::fill(e_dst_local, e_dst_local + W * S, 0);
+  std::fill(e_src_local, e_src_local + W * S, (int16_t)-1);
+  std::fill(e_dst_local, e_dst_local + W * S, (int16_t)0);
   int64_t B = st.B, R = st.R;
   for (int64_t w = 0; w < W; ++w) {
     ws_dst[w] = st.tile_dblk[w];
@@ -201,11 +202,11 @@ int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
       for (int64_t j = 0; j < C; ++j) {
         if (cs + j < ce) {
           int64_t e = st.order[cs + j];
-          e_src_local[base + j] = (int32_t)(indices[e] - (int64_t)sblk * B);
+          e_src_local[base + j] = (int16_t)(indices[e] - (int64_t)sblk * B);
           e_dst_local[base + j] =
-              (int32_t)(st.dst_of[e] - (int64_t)ws_dst[w] * R);
+              (int16_t)(st.dst_of[e] - (int64_t)ws_dst[w] * R);
         } else {
-          e_dst_local[base + j] = (int32_t)row0;   // window-start padding
+          e_dst_local[base + j] = (int16_t)row0;   // window-start padding
         }
       }
     }

@@ -22,6 +22,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _SO_PATH = os.path.join(_NATIVE_DIR, "libgraphcore.so")
 
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
@@ -56,7 +57,7 @@ def _load():
         lib.gc_plan_count.restype = ctypes.c_int64
         lib.gc_plan_count.argtypes = [_i64p, _i32p] + [ctypes.c_int64] * 6
         lib.gc_plan_fill.restype = ctypes.c_int
-        lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i32p]
+        lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i16p, _i16p]
         _LIB = lib
         return lib
 
@@ -99,8 +100,8 @@ def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
             return None
         ws_dst = np.empty(w, np.int32)
         ws_src = np.empty(w, np.int32)
-        e_src = np.empty((w, S), np.int32)
-        e_dst = np.empty((w, S), np.int32)
+        e_src = np.empty((w, S), np.int16)
+        e_dst = np.empty((w, S), np.int16)
         rc = lib.gc_plan_fill(indices32, ws_dst, ws_src,
                               e_src.reshape(-1), e_dst.reshape(-1))
     if rc != 0:

@@ -46,8 +46,10 @@ class TilePlan:
     """
     ws_dst_block: jax.Array   # i32[W]    dst (output) block per tile — sorted
     ws_src_block: jax.Array   # i32[W]    src (feature) block per tile
-    e_src_local: jax.Array    # i32[W, S] src id within block; -1 for padding
-    e_dst_local: jax.Array    # i32[W, S] dst row offset within dst block; the
+    e_src_local: jax.Array    # i16[W, S] src id within block; -1 for padding
+    #                           (int16 halves the host→device plan transfer;
+    #                           the kernel widens to i32 on device)
+    e_dst_local: jax.Array    # i16[W, S] dst row offset within dst block; the
     #                           first slot of each chunk determines its
     #                           8-aligned window start
     num_tiles: int = struct.field(pytree_node=False)
@@ -111,6 +113,8 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
         raise ValueError("window must be a positive multiple of 8")
     if RW > R:
         raise ValueError("window cannot exceed dst_block")
+    if B > 32767 or R > 32767:
+        raise ValueError("src_block/dst_block must fit int16 slot encoding")
     n_dst_blocks = max(-(-num_nodes // R), 1)
     n_src_blocks = max(-(-num_nodes // B), 1)
 
@@ -181,8 +185,8 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     W = len(tiles) + len(missing)
     ws_dst = np.zeros(W, np.int32)
     ws_src = np.zeros(W, np.int32)
-    e_src_local = np.full((W, S), -1, np.int32)   # -1 ⇒ padding slot
-    e_dst_local = np.zeros((W, S), np.int32)
+    e_src_local = np.full((W, S), -1, np.int16)   # -1 ⇒ padding slot
+    e_dst_local = np.zeros((W, S), np.int16)
 
     items = []
     for t in tiles:

@@ -181,8 +181,9 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.
-    e_src3 = plan.e_src_local.reshape(w, 1, S)
-    e_dst3 = plan.e_dst_local.reshape(w, 1, S)
+    # Plans store slots as int16 (transfer size); widen to i32 on device.
+    e_src3 = plan.e_src_local.astype(jnp.int32).reshape(w, 1, S)
+    e_dst3 = plan.e_dst_local.astype(jnp.int32).reshape(w, 1, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(w,),
