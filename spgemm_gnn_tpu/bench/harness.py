@@ -44,10 +44,31 @@ def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8,
     return (time.perf_counter() - t0) / iters
 
 
+def _cached_powerlaw(n_nodes: int, n_edges: int, seed: int):
+    """Disk-cached synthetic graph (bench graphs are expensive to rebuild and
+    the driver reruns bench.py in a fresh process)."""
+    import os
+    from spgemm_gnn_tpu.graphs.csr import from_edges
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".bench_cache")
+    path = os.path.join(cache_dir, f"pl_{n_nodes}_{n_edges}_{seed}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return from_edges(z["src"], z["dst"], int(z["n"]), symmetric=True)
+    g = powerlaw_graph(n_nodes, n_edges, seed=seed)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, src=np.asarray(g.indices), dst=np.asarray(g.edge_dst),
+                 n=g.num_nodes)
+    except OSError:
+        pass
+    return g
+
+
 def _bench_inputs(n_nodes: int, n_edges: int, dim: int, k: int, seed: int,
                   plan_kw: dict | None):
     from spgemm_gnn_tpu.ops.maxk import maxk
-    g = powerlaw_graph(n_nodes, n_edges // 2, seed=seed)
+    g = _cached_powerlaw(n_nodes, n_edges // 2, seed)
     pg = plan_graph(g, **(plan_kw or {}))
     rng = np.random.default_rng(seed)
     x0 = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))

@@ -65,11 +65,14 @@ class PlannedGraph:
 def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
                dst_block: int = 4096,
                window: int | None = None) -> PlannedGraph:
-    """Build both plans for a graph (host-side, once; the generate_meta role)."""
+    """Build both plans for a graph (host-side, once; the generate_meta role).
+
+    For symmetric graphs the transpose CSR is the CSR itself, so the backward
+    plan aliases the forward plan (halves build time and device transfer)."""
     kw = dict(tile_slots=tile_slots, src_block=src_block, dst_block=dst_block,
               window=window)
     fwd = plan_for_graph(g, transpose=False, **kw)
-    bwd = plan_for_graph(g, transpose=True, **kw)
+    bwd = fwd if g.symmetric else plan_for_graph(g, transpose=True, **kw)
     return PlannedGraph(graph=g, fwd_plan=fwd, bwd_plan=bwd)
 
 
