@@ -151,8 +151,61 @@ class MaxKSAGE(_Base):
                         name="lin_out")(x)
 
 
+class MaxKGCN(_Base):
+    """Integrated kernel-first GCN (reference utils/integrated_models.py:68-143
+    + MaxKGCNConv at utils/maxk_layers.py:267-448): per layer — Linear →
+    Dropout → [conv: weight matmul → MaxK → sym-norm aggregate + bias] →
+    LayerNorm?."""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                             name="lin_in")(x))
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin{i}")(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+            # conv body
+            x = nn.Dense(self.hidden_dim, use_bias=False,
+                         kernel_init=xavier_uniform_relu,
+                         name=f"conv_w{i}")(x)
+            x, k = self._nl(x)
+            x = aggregate(g, x, norm="gcn", k=k, impl=self.impl)
+            bias = self.param(f"conv_b{i}", nn.initializers.zeros,
+                              (self.hidden_dim,))
+            x = x + bias
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
+class MaxKGIN(_Base):
+    """Integrated kernel-first GIN (reference utils/integrated_models.py:145-219
+    + MaxKGINConv at :221-270): per layer — Linear → Dropout → [conv: MaxK →
+    (1+eps)·x + sum-aggregate] → LayerNorm?."""
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                             name="lin_in")(x))
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+                         name=f"lin{i}")(x)
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+            x, k = self._nl(x)
+            eps = self.param(f"eps{i}", nn.initializers.zeros, ())
+            agg = aggregate(g, x, norm="sum", k=k, impl=self.impl)
+            x = (1.0 + eps) * x + agg
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
+                        name="lin_out")(x)
+
+
 MODELS = {"sage": SAGE, "gcn": GCN, "gin": GIN, "gnn_res": GNNRes,
-          "sage_integrated": MaxKSAGE}
+          "sage_integrated": MaxKSAGE, "gcn_integrated": MaxKGCN,
+          "gin_integrated": MaxKGIN}
 
 
 def build_model(model: str, *, hidden_dim: int, num_layers: int, out_dim: int,

@@ -70,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", default=d.dataset, choices=list(DATASETS))
     p.add_argument("--data_path", default=d.data_path)
     p.add_argument("--model", default=d.model,
-                   choices=["sage", "gcn", "gin", "gnn_res", "sage_integrated"])
+                   choices=["sage", "gcn", "gin", "gnn_res", "sage_integrated", "gcn_integrated", "gin_integrated"])
     p.add_argument("--selfloop", action="store_true")
     p.add_argument("--epochs", type=int, default=d.epochs)
     p.add_argument("--w_lr", type=float, default=d.w_lr)
