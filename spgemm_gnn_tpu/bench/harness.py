@@ -110,7 +110,7 @@ def bench_impl(g, pg, xk, ct, dim: int, k: int, norm: str, impl: str,
 # O(E·dim) buffers and cannot run Reddit-scale graphs in 16 GB HBM. Above the
 # cap the baseline is measured on a same-structure smaller graph and reported
 # per-edge (the formulation is linear in E).
-XLA_BASELINE_EDGE_CAP = 12_000_000
+XLA_BASELINE_EDGE_CAP = 6_000_000
 
 
 def bench_aggregation(n_nodes: int, n_edges: int, dim: int, k: int,
