@@ -76,7 +76,7 @@ PlanState g_state;   // single-threaded planner; one plan in flight at a time
 // S = tile edge slots, C = chunk, RW = row window, B = src block, R = dst blk.
 int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
                       int64_t num_nodes, int64_t S, int64_t C, int64_t RW,
-                      int64_t B, int64_t R) {
+                      int64_t B, int64_t R, int64_t num_src_nodes) {
   if (S % C) return -1;
   if (B > 32767 || R > 32767) return -1;  // int16 slot encoding
   PlanState& st = g_state;
@@ -84,8 +84,9 @@ int64_t gc_plan_count(const int64_t* indptr, const int32_t* indices,
   st.S = S; st.C = C; st.RW = RW; st.B = B; st.R = R;
   int64_t E = indptr[num_nodes];
   st.E = E;
+  if (num_src_nodes <= 0) num_src_nodes = num_nodes;
   int64_t ndb = std::max<int64_t>((num_nodes + R - 1) / R, 1);
-  int64_t nsb = std::max<int64_t>((num_nodes + B - 1) / B, 1);
+  int64_t nsb = std::max<int64_t>((num_src_nodes + B - 1) / B, 1);
   st.n_dst_blocks = ndb;
   st.n_src_blocks = nsb;
 

@@ -55,7 +55,7 @@ def _load():
         lib.gc_degrees.argtypes = [ctypes.c_int64, _i32p, _i32p,
                                    ctypes.c_int64, _i32p, _i32p]
         lib.gc_plan_count.restype = ctypes.c_int64
-        lib.gc_plan_count.argtypes = [_i64p, _i32p] + [ctypes.c_int64] * 6
+        lib.gc_plan_count.argtypes = [_i64p, _i32p] + [ctypes.c_int64] * 7
         lib.gc_plan_fill.restype = ctypes.c_int
         lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i16p, _i16p]
         _LIB = lib
@@ -86,7 +86,7 @@ def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
 
 def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
                       num_nodes: int, S: int, C: int, RW: int,
-                      B: int, R: int):
+                      B: int, R: int, num_src_nodes: int = 0):
     """Native tile planning. Returns (ws_dst, ws_src, e_src_local, e_dst_local)
     or None. Output is bit-identical to the Python planner."""
     lib = _load()
@@ -95,7 +95,8 @@ def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
     indptr64 = np.ascontiguousarray(indptr, np.int64)
     indices32 = np.ascontiguousarray(indices, np.int32)
     with _LOCK:   # planner keeps state between the two passes
-        w = lib.gc_plan_count(indptr64, indices32, num_nodes, S, C, RW, B, R)
+        w = lib.gc_plan_count(indptr64, indices32, num_nodes, S, C, RW,
+                              B, R, num_src_nodes)
         if w < 0:
             return None
         ws_dst = np.empty(w, np.int32)

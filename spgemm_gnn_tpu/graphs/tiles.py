@@ -75,14 +75,16 @@ class TilePlan:
         return self.num_edges / float(self.num_tiles * self.tile_slots)
 
 
-def auto_window(num_nodes: int, num_edges: int, src_block: int) -> int:
+def auto_window(num_nodes: int, num_edges: int, src_block: int,
+                num_src_nodes: int | None = None) -> int:
     """Density-tuned destination-row window.
 
     λ = expected edges per (destination row, source block); the smallest
     8-multiple window with λ·RW ≳ CHUNK keeps chunks full (the TPU analogue of
     the reference's density-dependent warp sizing,
     README_INTEGRATED.md:253-257)."""
-    n_src_blocks = max(-(-num_nodes // src_block), 1)
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
+    n_src_blocks = max(-(-n_src // src_block), 1)
     avg_deg = num_edges / max(num_nodes, 1)
     lam = avg_deg / n_src_blocks
     rw = 8
@@ -94,11 +96,15 @@ def auto_window(num_nodes: int, num_edges: int, src_block: int) -> int:
 def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
                     *, tile_slots: int = 1024, src_block: int = 256,
                     dst_block: int = 4096, window: int | None = None,
+                    num_src_nodes: int | None = None,
                     use_native: bool = True) -> TilePlan:
     """Build a TilePlan from an (in-)CSR structure.
 
     For the backward (SSpMM) plan, pass the transpose CSR (t_indptr/t_indices):
     the planner is direction-agnostic — "dst" is simply the CSR row axis.
+    num_src_nodes: size of the source (column) id space when it differs from
+    the row count — e.g. per-shard plans whose rows are a local node block but
+    whose columns index the global node space (parallel/planned_sharded.py).
     """
     S, B, R = tile_slots, src_block, dst_block
     C = CHUNK
@@ -106,8 +112,9 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
         raise ValueError("tile_slots must be a multiple of 128")
     indptr = np.asarray(indptr, np.int64)
     E = int(indptr[-1])
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
     if window is None:
-        window = auto_window(num_nodes, E, B)
+        window = auto_window(num_nodes, E, B, num_src_nodes=n_src)
     RW = window
     if RW < 8 or RW % 8:
         raise ValueError("window must be a positive multiple of 8")
@@ -116,13 +123,13 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     if B > 32767 or R > 32767:
         raise ValueError("src_block/dst_block must fit int16 slot encoding")
     n_dst_blocks = max(-(-num_nodes // R), 1)
-    n_src_blocks = max(-(-num_nodes // B), 1)
+    n_src_blocks = max(-(-n_src // B), 1)
 
     # native fast path (bit-identical output; tests/test_native.py)
     from spgemm_gnn_tpu.graphs import native
     if use_native and native.available():
         res = native.build_plan_arrays(indptr, np.asarray(indices, np.int32),
-                                       num_nodes, S, C, RW, B, R)
+                                       num_nodes, S, C, RW, B, R, n_src)
         if res is not None:
             ws_dst, ws_src, e_src_local, e_dst_local = res
             return TilePlan(

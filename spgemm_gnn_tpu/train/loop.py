@@ -59,11 +59,18 @@ class Trainer:
         if config.mesh_shape > 1:
             # graph-partition data layout over a 1-D device mesh: node arrays
             # sharded by contiguous blocks, edges co-located with their
-            # destination block (parallel/sharded.py)
+            # destination block. impl pallas → per-shard tile-plan kernels
+            # (parallel/planned_sharded.py); otherwise the XLA collective path
+            # (parallel/sharded.py).
             from spgemm_gnn_tpu.parallel.mesh import make_mesh
-            from spgemm_gnn_tpu.parallel.sharded import shard_graph
             self.mesh = make_mesh(config.mesh_shape)
-            sg = shard_graph(dataset.graph, self.mesh)
+            if config.impl == "pallas":
+                from spgemm_gnn_tpu.parallel.planned_sharded import (
+                    shard_planned_graph)
+                sg = shard_planned_graph(dataset.graph, self.mesh)
+            else:
+                from spgemm_gnn_tpu.parallel.sharded import shard_graph
+                sg = shard_graph(dataset.graph, self.mesh)
             self.g = sg
             n_pad = sg.padded_nodes
             node_sh = sg.node_sharding()

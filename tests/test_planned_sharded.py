@@ -1,0 +1,69 @@
+"""Multi-chip Pallas aggregation (per-shard tile plans under shard_map) vs the
+single-device oracle, on the 8-virtual-device CPU mesh (interpret kernels)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
+from spgemm_gnn_tpu.ops.spmm import spmm, spmm_transpose
+from spgemm_gnn_tpu.parallel.mesh import make_mesh
+from spgemm_gnn_tpu.parallel.planned_sharded import (
+    shard_planned_graph, sharded_planned_aggregate,
+)
+
+DIM = 128
+KW = dict(tile_slots=128, src_block=128, dst_block=128, window=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = powerlaw_graph(300, 3000, seed=31)
+    mesh = make_mesh(4)
+    spg = shard_planned_graph(g, mesh, **KW)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((g.num_nodes, DIM)).astype(np.float32)
+    x_pad = np.zeros((spg.padded_nodes, DIM), np.float32)
+    x_pad[:g.num_nodes] = x
+    return g, spg, x, x_pad
+
+
+@pytest.mark.parametrize("norm", ["sum", "mean", "gcn"])
+def test_sharded_planned_forward(setup, norm):
+    g, spg, x, x_pad = setup
+    xs = jax.device_put(x_pad, spg.node_sharding())
+    y = np.asarray(jax.jit(
+        lambda xv, s: sharded_planned_aggregate(s, xv, norm))(xs, spg))
+    y_ref = np.asarray(spmm(g, jnp.asarray(x), norm))
+    np.testing.assert_allclose(y[:g.num_nodes], y_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y[g.num_nodes:], 0.0, atol=1e-6)
+
+
+def test_sharded_planned_backward(setup):
+    g, spg, x, x_pad = setup
+    ct = np.random.default_rng(1).standard_normal(
+        (spg.padded_nodes, DIM)).astype(np.float32)
+    cts = jnp.asarray(ct)
+    xs = jax.device_put(x_pad, spg.node_sharding())
+    dx = np.asarray(jax.jit(jax.grad(
+        lambda xv, s: (sharded_planned_aggregate(s, xv, "mean")
+                       * cts).sum()))(xs, spg))
+    dx_ref = np.asarray(spmm_transpose(g, jnp.asarray(ct[:g.num_nodes]),
+                                       "mean"))
+    np.testing.assert_allclose(dx[:g.num_nodes], dx_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_mesh_pallas():
+    """Trainer with mesh_shape>1 and impl=pallas: per-shard kernels end-to-end."""
+    from spgemm_gnn_tpu.train.config import TrainConfig
+    from spgemm_gnn_tpu.train.loop import Trainer
+    from spgemm_gnn_tpu.parallel.planned_sharded import ShardedPlannedGraph
+    cfg = TrainConfig(dataset="flickr", model="sage", epochs=3, hidden_dim=16,
+                      hidden_layers=2, maxk=4, dropout=0.0, w_lr=0.01,
+                      nonlinear="maxk", impl="pallas", synthetic=True,
+                      synthetic_scale=0.002, eval_every=1, log_every=0,
+                      mesh_shape=4)
+    tr = Trainer(cfg)
+    assert isinstance(tr.g, ShardedPlannedGraph)
+    res = tr.run()
+    assert np.isfinite(res["history"][-1].loss)
