@@ -26,9 +26,11 @@ SCALES = {
     "micro": (2_000, 20_000),         # interpret-mode smoke only
     "tiny": (20_000, 400_000),
     "small": (60_000, 3_000_000),
-    # quarter-Reddit nodes at full Reddit average degree (~492): kernel
-    # behaviour tracks density (edges per row/src-block), not raw edge count
-    "medium": (58_241, 28_650_000),
+    # eighth-Reddit nodes at full Reddit average degree (~492): kernel
+    # behaviour tracks density (edges per row/src-block), not raw edge count,
+    # and the tunnel's ~1 MB/s host→device transfer bounds total bench time
+    "medium": (29_121, 14_325_000),
+    "large": (58_241, 28_650_000),    # quarter-Reddit nodes, full degree
     "full": (232_965, 114_000_000),   # Reddit-scale
 }
 
