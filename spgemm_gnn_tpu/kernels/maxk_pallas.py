@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 MIN_INT = np.int32(-2147483648)  # 0x80000000 (plain scalar — jnp constants
 #                                   captured by kernels break pallas_call)

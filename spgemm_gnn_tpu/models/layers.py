@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
+
 
 from spgemm_gnn_tpu.kernels.api import aggregate
 

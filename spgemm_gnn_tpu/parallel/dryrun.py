@@ -7,9 +7,9 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding
 
 from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
 from spgemm_gnn_tpu.models.models import build_model

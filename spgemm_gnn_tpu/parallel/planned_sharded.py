@@ -130,8 +130,6 @@ def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
 
     indptr = np.asarray(g.indptr, np.int64)
     indices = np.asarray(g.indices)
-    t_indptr = np.asarray(g.t_indptr, np.int64)
-    t_indices = np.asarray(g.t_indices)
 
     if window is None:
         from spgemm_gnn_tpu.graphs.tiles import auto_window
