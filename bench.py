@@ -50,6 +50,21 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.scale = "micro"   # interpret-mode pallas: smoke only
 
+    # watchdog: the TPU claim can hang indefinitely if a previous client died
+    # mid-operation; emit a sentinel JSON line rather than nothing
+    import signal
+
+    def _bail(signum, frame):
+        print(json.dumps({
+            "metric": f"maxk_spgemm_aggregation_{args.scale}_k{args.k}",
+            "value": 0.0, "unit": "Gedges/s", "vs_baseline": 0.0,
+        }), flush=True)
+        log("watchdog: device startup timed out (wedged TPU claim?)")
+        sys.exit(2)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(480)
+
     import jax
     log(f"devices: {jax.devices()}")
     n, e = SCALES[args.scale]
@@ -62,6 +77,7 @@ def main():
         f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window} "
         f"({time.perf_counter()-t0:.0f}s)")
 
+    signal.alarm(0)   # startup survived; phases have their own guards
     res = {}
     try:  # pallas first: its number must survive a baseline failure
         res["pallas"] = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
