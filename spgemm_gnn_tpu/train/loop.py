@@ -206,6 +206,9 @@ class Trainer:
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         state = self.init_state()
+        from spgemm_gnn_tpu.utils.logging import param_size
+        self.logger.info("Model parameters: %.2f MB",
+                         param_size(state["params"]))
         start_epoch = 0
         if cfg.resume:
             last = ckpt.latest_step(cfg.path)

@@ -22,6 +22,14 @@ def get_logger(file_path: str | None, name: str = "spgemm_gnn_tpu"):
     return logger
 
 
+def param_size(params) -> float:
+    """Parameter size in MB (reference utils/general_utils.py:31-36)."""
+    import numpy as np
+    import jax
+    n = sum(np.prod(np.shape(p)) for p in jax.tree_util.tree_leaves(params))
+    return float(n) / 1024.0 / 1024.0
+
+
 class AverageMeter:
     """Running average tracker."""
 
