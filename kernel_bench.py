@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--validate", action="store_true",
                     help="check pallas vs xla allclose before timing")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    ap.add_argument("--op", default="spgemm", choices=["spgemm", "maxk"],
+                    help="spgemm: aggregation pair; maxk: the standalone "
+                         "top-k kernel (the reference's maxk_kernel_test "
+                         "second build, README.md:113-131)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,6 +60,29 @@ def main():
     from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
 
     print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    if args.op == "maxk":
+        from spgemm_gnn_tpu.kernels.maxk_pallas import maxk_pallas
+        from spgemm_gnn_tpu.ops.maxk import maxk
+        n, dim = (200_000, args.dim) if not args.cpu else (2_000, args.dim)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((n, dim), dtype=np.float32))
+        for k in args.k:
+            row = {"op": "maxk", "n": n, "dim": dim, "k": k}
+            f_p = jax.jit(lambda xv, _k=k: maxk_pallas(xv, _k))
+            f_x = jax.jit(lambda xv, _k=k: maxk(xv, _k))
+            if args.validate:
+                err = float(jnp.max(jnp.abs(f_p(x) - f_x(x))))
+                row["err"] = err
+            t_p = time_chained(lambda xv: xv + f_p(xv) * 1e-9, x, args.iters)
+            t_x = time_chained(lambda xv: xv + f_x(xv) * 1e-9, x, args.iters)
+            row["pallas_ms"] = round(t_p * 1e3, 3)
+            row["xla_topk_ms"] = round(t_x * 1e3, 3)
+            row["speedup"] = round(t_x / t_p, 2)
+            print(json.dumps(row) if args.json else
+                  f"maxk k={k:3d}  pallas {t_p*1e3:7.2f}ms  "
+                  f"xla-topk {t_x*1e3:7.2f}ms  ({t_x/t_p:.2f}x)", flush=True)
+        return
 
     for gname in args.graphs:
         if gname in SYNTH_CORPUS:

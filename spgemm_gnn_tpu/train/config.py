@@ -44,6 +44,9 @@ class TrainConfig:
     tensorboard: bool = False
     timing: bool = False                 # report aggregation-% (Amdahl stat)
     profile: str | None = None           # dir → capture a jax.profiler trace
+    # reference cache-strategy flags (utils/config.py:59-63) → feature stores
+    cache_strategy: str = "none"         # none|direct|static-outd|fifo|lru
+    cache_size_ratio: float = 0.05
 
     def print_params(self, prtf=print) -> None:
         prtf("")
@@ -100,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure aggregation share of the train step")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of a few steps to DIR")
+    p.add_argument("--cache-strategy", dest="cache_strategy", default="none",
+                   choices=["none", "direct", "static-outd", "fifo", "lru"],
+                   help="host-resident feature store policy")
+    p.add_argument("--cache-size-ratio", dest="cache_size_ratio", type=float,
+                   default=d.cache_size_ratio)
     return p
 
 

@@ -91,13 +91,13 @@ class Trainer:
             # (the planned kernel accelerates the ReLU-dense path too)
             from spgemm_gnn_tpu.kernels.planned import plan_graph
             self.g = plan_graph(dataset.graph)
-            self.features = jnp.asarray(dataset.features, dtype)
+            self.features = self._load_features(dataset, dtype)
             self.labels = jnp.asarray(dataset.labels)
             self.masks = tuple(jnp.asarray(m) for m in
                                (dataset.train_mask, dataset.val_mask,
                                 dataset.test_mask))
         else:
-            self.features = jnp.asarray(dataset.features, dtype)
+            self.features = self._load_features(dataset, dtype)
             self.labels = jnp.asarray(dataset.labels)
             self.masks = tuple(jnp.asarray(m) for m in
                                (dataset.train_mask, dataset.val_mask,
@@ -112,6 +112,24 @@ class Trainer:
         self._loss = loss_fn(dataset.multilabel)
         self._use_rocauc = dataset.name == "ogbn-proteins"
         self._build_steps()
+
+    def _load_features(self, dataset, dtype):
+        """Features via the configured store (reference --cache-strategy flag,
+        utils/config.py:59-63 → graphs/features.py). Full-graph training needs
+        every feature each step, so the store serves the complete matrix; the
+        policy/stats machinery mirrors the reference's cache subsystem and is
+        exercised through `fetch` in minibatch-style use."""
+        if self.config.cache_strategy == "none":
+            return jnp.asarray(dataset.features, dtype)
+        from spgemm_gnn_tpu.graphs.features import make_feature_store
+        self.feature_store = make_feature_store(
+            dataset.features, policy=self.config.cache_strategy,
+            cache_ratio=self.config.cache_size_ratio,
+            out_degrees=np.asarray(dataset.graph.out_degrees), dtype=dtype)
+        self.logger.info("Feature store: %s (capacity ratio %.2f)",
+                         self.config.cache_strategy,
+                         self.config.cache_size_ratio)
+        return self.feature_store.full()
 
     # -- state ---------------------------------------------------------------
 
