@@ -66,3 +66,12 @@ def test_aggregate_relu_path_through_plan(pg, rng):
     y = np.asarray(aggregate(pg, x, norm="gcn", impl="pallas"))
     np.testing.assert_allclose(y, np.asarray(spmm(g, x, "gcn")), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_dim_384_yelp_hidden(pg, rng):
+    """dim=384 (yelp hidden size): non-power-of-two lane multiple."""
+    g = pg.graph
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, 384)).astype(np.float32))
+    y = np.asarray(planned_aggregate(pg, x, "mean"))
+    np.testing.assert_allclose(y, np.asarray(spmm(g, x, "mean")), rtol=1e-4,
+                               atol=1e-5)
