@@ -33,6 +33,16 @@ def main(argv=None):
 
     from spgemm_gnn_tpu.train.loop import Trainer
     trainer = Trainer(config, logger=logger)
+
+    if config.evaluate:
+        # eval-only mode (the reference parses --evaluate but never uses it —
+        # utils/config.py:55-56; here it restores the checkpoint and reports)
+        tr, va, te = trainer.evaluate_checkpoint(config.evaluate)
+        logger.info("Eval-only: train %.4f | val %.4f | test %.4f", tr, va, te)
+        with open(os.path.join(config.path, "results.json"), "w") as f:
+            json.dump({"train_acc": tr, "val_acc": va, "test_acc": te}, f)
+        return {"train_acc": tr, "val_acc": va, "test_acc": te}
+
     logger.info("Training...")
 
     def on_epoch(rec):
