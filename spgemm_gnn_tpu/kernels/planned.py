@@ -2,13 +2,15 @@
 full XLA↔Pallas glue (densify, transpose, pad, kernel, sample, norm scaling)
 used by the "pallas" aggregation impl.
 
-Forward (SpGEMM): y = dst_f ⊙ A · (src_f ⊙ dense(values, channels))
-  — densify CBSR (XLA scatter, O(N·k)), scale, transpose to [dim, N], run the
-  planned windowed-SpMM kernel.
-Backward (sampled SSpMM): dvalues = src_f ⊙ take_along(Aᵀ · (dst_f ⊙ g), ch)
-  — the dense transpose product is the SAME kernel on the transpose plan; the
-  [N, dim] intermediate is cheap on TPU (the CUDA reference avoids it because
-  of atomics, not bandwidth — SURVEY.md §0).
+Two entry points:
+- `planned_aggregate` (the models' fast path): dense masked activations in,
+  fwd = plan kernel, bwd = transpose-plan kernel — no CBSR round-trip on a
+  single chip (the op is linear; MaxK's own VJP applies the mask).
+- `spgemm_forward` / `sspmm_backward` (the explicit CBSR API, reference
+  binding parity): CBSR → Pallas densify_transpose → kernel; backward =
+  transpose product sampled at the k channels. The [N, dim] intermediate is
+  cheap on TPU — the CUDA reference's output-sparse formulation avoids
+  *atomics*, which this design does not have (SURVEY.md §0).
 """
 from __future__ import annotations
 
