@@ -71,32 +71,57 @@ def _slab_gather(xt, idx):
     return out
 
 
+def _unpack_bf16x2(packed_f32):
+    """[dim/2, C] f32 whose bits hold two bf16 → two f32 planes (low, high).
+
+    bf16's bits are the top 16 of f32, so plane_lo = bitcast(u << 16) and
+    plane_hi = bitcast(u & 0xffff0000). All 32-bit ops (Mosaic-safe).
+    """
+    u = jax.lax.bitcast_convert_type(packed_f32, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return lo, hi
+
+
 def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
                  xt_ref, e_src_ref, e_dst_ref,   # VMEM blocks
-                 out_ref, *, window: int, acc_dtype, mxu_dtype):
+                 out_ref, *, window: int, acc_dtype, mxu_dtype,
+                 packed: bool):
     i = pl.program_id(0)
 
     @pl.when(_first_visit(i, ws_dst_ref))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    xt = xt_ref[:]                               # [dim, B]
+    xt = xt_ref[:]                               # [dim, B] (dim/2 if packed)
     r = out_ref.shape[0]
     slots = e_src_ref.shape[-1]
     for ci in range(slots // CHUNK):
         lo = ci * CHUNK
         idx = e_src_ref[0, 0, lo:lo + CHUNK]     # [C]; -1 ⇒ padding
         rows = e_dst_ref[0, 0, lo:lo + CHUNK]    # [C] absolute within block
-        msgs_t = _slab_gather(xt, idx)           # [dim, C]
+        msgs_t = _slab_gather(xt, idx)           # [dim(/2), C]
         # 8-aligned chunk window (planner contract), clamped in-bounds
         w0 = jnp.minimum((e_dst_ref[0, 0, lo] // 8) * 8, r - window)
         w0 = pl.multiple_of(w0, 8)
         rel = rows - w0                          # [C] in [0, RW)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
-        contrib = jax.lax.dot_general(
-            onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dtype)     # [RW, dim]
+        if packed:
+            # bf16x2 stream: one gather serves two dim-halves
+            m_lo, m_hi = _unpack_bf16x2(msgs_t)
+            contrib = jnp.concatenate([
+                jax.lax.dot_general(onehot, m_lo.astype(mxu_dtype),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=acc_dtype),
+                jax.lax.dot_general(onehot, m_hi.astype(mxu_dtype),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=acc_dtype),
+            ], axis=1)                            # [RW, dim]
+        else:
+            contrib = jax.lax.dot_general(
+                onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dtype)     # [RW, dim]
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
 
@@ -154,15 +179,29 @@ def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
     )(values, channels)
 
 
+def _pack_bf16x2(xt: jax.Array) -> jax.Array:
+    """[dim, N] f32 → [dim/2, N] f32 bit-packing rows (d, d + dim/2) as two
+    bf16 in one 32-bit lane. One slab-gather then serves both dim halves."""
+    h = xt.shape[0] // 2
+    lo = jax.lax.bitcast_convert_type(
+        xt[:h].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        xt[h:].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+
 def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
                  *, acc_dtype=jnp.float32, mxu_dtype=None,
-                 interpret: bool = False) -> jax.Array:
+                 stream: str = "f32", interpret: bool = False) -> jax.Array:
     """y = A @ X over the plan, X given transposed.
 
-    xt_padded: [dim, plan.padded_src] (any float dtype; bf16 halves the HBM
-    stream). Returns [plan.padded_dst, dim] in acc_dtype. Degree norms are NOT
-    applied here — pre/post scale by node factors outside (separable, see
-    ops/norms.py).
+    xt_padded: [dim, plan.padded_src] (any float dtype). Returns
+    [plan.padded_dst, dim] in acc_dtype. Degree norms are NOT applied here —
+    pre/post scale by node factors outside (separable, see ops/norms.py).
+
+    stream: "f32" (exact) or "bf16x2" — two bf16 packed per 32-bit lane
+    (Mosaic has no 16-bit gather); halves the gather/select work, the VMEM
+    stream and the block DMA at bf16 precision.
     """
     S, B, R, RW = (plan.tile_slots, plan.src_block, plan.dst_block,
                    plan.window)
@@ -173,11 +212,24 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     if dim % 8:
         raise ValueError("dim must be a multiple of 8")
 
-    # the one-hot left operand is exact in bf16, so mxu_dtype=bf16 halves the
-    # MXU passes at the cost of rounding the messages to 8-bit mantissa (the
-    # reference runs TF32 matmuls — maxk_gnn_dgl.py:30)
+    packed = stream == "bf16x2"
+    if packed:
+        if dim % 16:
+            raise ValueError("bf16x2 stream needs dim % 16 == 0")
+        xt_padded = _pack_bf16x2(xt_padded.astype(jnp.float32))
+        dim_blk = dim // 2
+        # the packed planes are exactly representable in bf16 → bf16 MXU
+        # operands are lossless relative to the stream
+        mxu = mxu_dtype or jnp.bfloat16
+    else:
+        dim_blk = dim
+        # the one-hot left operand is exact in bf16, so mxu_dtype=bf16 halves
+        # the MXU passes at the cost of rounding the messages (the reference
+        # runs TF32 matmuls — maxk_gnn_dgl.py:30)
+        mxu = mxu_dtype or xt_padded.dtype
+
     kernel = functools.partial(_spmm_kernel, window=RW, acc_dtype=acc_dtype,
-                               mxu_dtype=mxu_dtype or xt_padded.dtype)
+                               mxu_dtype=mxu, packed=packed)
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.
@@ -188,7 +240,7 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
         num_scalar_prefetch=2,
         grid=(w,),
         in_specs=[
-            pl.BlockSpec((dim, B), lambda i, wd, ws: (0, ws[i])),
+            pl.BlockSpec((dim_blk, B), lambda i, wd, ws: (0, ws[i])),
             pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
             pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
         ],

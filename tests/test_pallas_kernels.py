@@ -83,3 +83,20 @@ def test_planned_graph_auto_impl(pg, rng):
     y_auto = np.asarray(aggregate_cbsr(pg, vals, ch, DIM, "mean", "auto"))
     y_x = np.asarray(aggregate_cbsr(g, vals, ch, DIM, "mean", "xla"))
     np.testing.assert_allclose(y_auto, y_x, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16x2_packed_stream(pg, rng):
+    """bf16x2-packed feature stream: one gather serves two dim halves;
+    matches the f32 stream at bf16 tolerance."""
+    from spgemm_gnn_tpu.kernels.spgemm_pallas import planned_spmm
+    import jax.numpy as jnp
+    g = pg.graph
+    plan = pg.fwd_plan
+    x = rng.standard_normal((plan.padded_src, DIM)).astype(np.float32)
+    xt = jnp.asarray(x.T)
+    y32 = np.asarray(planned_spmm(plan, xt, interpret=True))
+    y16 = np.asarray(planned_spmm(plan, xt, stream="bf16x2", interpret=True))
+    scale = np.abs(y32).max() + 1e-6
+    assert np.max(np.abs(y16 - y32)) / scale < 2e-2   # bf16 mantissa
+    # correlation sanity: same structure
+    np.testing.assert_allclose(y16, y32, rtol=0.1, atol=0.05 * scale)
