@@ -82,6 +82,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# feature-stream mode for the planned kernels: "f32" (exact) or "bf16x2"
+# (packed half-precision stream — see spgemm_pallas.planned_spmm). Module-level
+# so benches/drivers can flip it without threading a parameter through the
+# model stack; per-call override via planned_spmm(stream=...).
+DEFAULT_STREAM = "f32"
+
+
 def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
 
@@ -94,7 +101,7 @@ def _planned_dense_spmm(plan: TilePlan, x: jax.Array,
     pad = plan.padded_src - n
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    y = planned_spmm(plan, xt, interpret=_interpret())
+    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret())
     return y[:n]
 
 
