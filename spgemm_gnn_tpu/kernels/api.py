@@ -152,7 +152,7 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
     from spgemm_gnn_tpu.parallel.planned_sharded import (
         ShardedPlannedGraph, sharded_planned_aggregate)
     if isinstance(g, ShardedPlannedGraph):
-        return sharded_planned_aggregate(g, x, norm)
+        return sharded_planned_aggregate(g, x, norm, k=k)
     from spgemm_gnn_tpu.kernels.planned import PlannedGraph, planned_aggregate
     if isinstance(g, PlannedGraph):
         fill = min(g.fwd_plan.fill, g.bwd_plan.fill)

@@ -20,6 +20,8 @@ kernel's first-visit zeroing cannot re-trigger) and carry only padding slots.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -206,33 +208,74 @@ def _run_shard_kernel(sp: ShardedPlan, x_blk, wsd, wss, esrc, edst, axis,
     return y[:out_rows]
 
 
-@jax.custom_vjp
-def _sharded_planned(x, src_f, dst_f, spg):
-    return _sharded_planned_fwd(x, src_f, dst_f, spg)[0]
+def _run_shard_kernel_cbsr(sp: ShardedPlan, vals_blk, ch_blk, dim, wsd, wss,
+                           esrc, edst, axis, out_rows: int):
+    """CBSR-compressed exchange: all_gather k values + k channel ids per node
+    (k ≪ dim — the distributed payoff of the CBSR layout, SURVEY.md §7.3),
+    densify on-device with the Pallas densify kernel, then run the plan
+    kernel."""
+    from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_transpose
+    vals_full = jax.lax.all_gather(vals_blk, axis, tiled=True)  # [N_pad, k]
+    ch_full = jax.lax.all_gather(ch_blk, axis, tiled=True)      # [N_pad, k]
+    n_cols = sp.n_src_blocks * sp.src_block
+    xt = densify_transpose(vals_full, ch_full, dim, n_cols,
+                           interpret=_interpret())               # [dim, cols]
+    plan = sp.local_plan(wsd[0], wss[0], esrc[0], edst[0])
+    y = planned_spmm(plan, xt, interpret=_interpret())
+    return y[:out_rows]
 
 
 def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
 
 
-def _sharded_planned_fwd(x, src_f, dst_f, spg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sharded_planned(x, src_f, dst_f, spg, k):
+    return _sharded_planned_fwd(x, src_f, dst_f, spg, k)[0]
+
+
+def _sharded_planned_fwd(x, src_f, dst_f, spg, k):
     axis = spg.axis
     sp = spg.fwd
     xs = _scale(x, src_f)
+    dim = x.shape[-1]
 
-    def body(x_blk, wsd, wss, esrc, edst):
-        return _run_shard_kernel(sp, x_blk, wsd, wss, esrc, edst, axis,
-                                 spg.nodes_per_shard)
+    if k is not None and k < dim:
+        # compress BEFORE the collective: k values + k channels per node.
+        # The support is the nonzero set of the MaxK-masked input (top_k on
+        # the 0/1 indicator — top_k on values would mis-rank zeros above
+        # negative survivors).
+        indicator = (xs != 0).astype(jnp.float32)
+        _, idx = jax.lax.top_k(indicator, k)
+        ch = jnp.sort(idx, axis=-1).astype(jnp.int32)
+        vals = jnp.take_along_axis(xs, ch, axis=-1)
 
-    y = shard_map(
-        body, mesh=spg.mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis), check_vma=False,   # pallas_call outputs carry no vma
-    )(xs, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local, sp.e_dst_local)
+        def body(v_blk, c_blk, wsd, wss, esrc, edst):
+            return _run_shard_kernel_cbsr(sp, v_blk, c_blk, dim, wsd, wss,
+                                          esrc, edst, axis,
+                                          spg.nodes_per_shard)
+
+        y = shard_map(
+            body, mesh=spg.mesh,
+            in_specs=(P(axis),) * 6,
+            out_specs=P(axis), check_vma=False,
+        )(vals, ch, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local,
+          sp.e_dst_local)
+    else:
+        def body(x_blk, wsd, wss, esrc, edst):
+            return _run_shard_kernel(sp, x_blk, wsd, wss, esrc, edst, axis,
+                                     spg.nodes_per_shard)
+
+        y = shard_map(
+            body, mesh=spg.mesh,
+            in_specs=(P(axis),) * 5,
+            out_specs=P(axis), check_vma=False,  # pallas outputs carry no vma
+        )(xs, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local,
+          sp.e_dst_local)
     return _scale(y, dst_f), (src_f, dst_f, spg)
 
 
-def _sharded_planned_bwd(res, g):
+def _sharded_planned_bwd(k, res, g):
     src_f, dst_f, spg = res
     axis = spg.axis
     sp = spg.bwd
@@ -258,7 +301,13 @@ _sharded_planned.defvjp(_sharded_planned_fwd, _sharded_planned_bwd)
 
 
 def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
-                              norm: str = "sum") -> jax.Array:
-    """y = A_w · x across the mesh through the per-shard Pallas kernels."""
+                              norm: str = "sum",
+                              k: int | None = None) -> jax.Array:
+    """y = A_w · x across the mesh through the per-shard Pallas kernels.
+
+    With k set (MaxK-sparse x), the collective exchanges the CBSR payload —
+    k values + k channel ids per node instead of dim — the distributed payoff
+    of the compressed layout (forward only; the backward cotangent is dense).
+    """
     src_f, dst_f = node_factors(spg, norm)
-    return _sharded_planned(x, src_f, dst_f, spg)
+    return _sharded_planned(x, src_f, dst_f, spg, k)

@@ -67,3 +67,34 @@ def test_trainer_mesh_pallas():
     assert isinstance(tr.g, ShardedPlannedGraph)
     res = tr.run()
     assert np.isfinite(res["history"][-1].loss)
+
+
+def test_sharded_cbsr_exchange(setup):
+    """CBSR-compressed collective (k values + channels) matches the dense
+    exchange and the single-device oracle, fwd and grad."""
+    from spgemm_gnn_tpu.ops.maxk import maxk
+    g, spg, x, x_pad = setup
+    K = 4
+    xk_pad = np.array(maxk(jnp.asarray(x_pad), K))
+    xk_pad[g.num_nodes:] = 0.0
+    xs = jax.device_put(xk_pad, spg.node_sharding())
+    y = np.asarray(jax.jit(
+        lambda xv, s: sharded_planned_aggregate(s, xv, "mean", k=K))(xs, spg))
+    y_ref = np.asarray(spmm(g, jnp.asarray(xk_pad[:g.num_nodes]), "mean"))
+    np.testing.assert_allclose(y[:g.num_nodes], y_ref, rtol=1e-4, atol=1e-5)
+
+    ct = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (spg.padded_nodes, DIM)).astype(np.float32))
+
+    def loss(xv, s):
+        return (sharded_planned_aggregate(s, maxk(xv, K), "mean", k=K)
+                * ct).sum()
+
+    x_dense = jax.device_put(x_pad, spg.node_sharding())
+    dx = np.asarray(jax.jit(jax.grad(loss))(x_dense, spg))
+
+    def loss_ref(xv):
+        return (spmm(g, maxk(xv, K), "mean") * ct[:g.num_nodes]).sum()
+
+    dx_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(dx[:g.num_nodes], dx_ref, rtol=1e-4, atol=1e-5)
