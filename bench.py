@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"],
+                    help="Pallas feature-stream precision (bf16x2 default — "
+                         "the reference's own matmuls run TF32)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,6 +73,9 @@ def main():
     n, e = SCALES[args.scale]
 
     from spgemm_gnn_tpu.bench import harness
+    from spgemm_gnn_tpu.kernels import planned
+    planned.DEFAULT_STREAM = args.stream
+    log(f"pallas feature stream: {args.stream}")
 
     t0 = time.perf_counter()
     g, pg, xk, ct = harness._bench_inputs(n, e, args.dim, args.k, 0, None)

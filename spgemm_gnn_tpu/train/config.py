@@ -47,6 +47,7 @@ class TrainConfig:
     # reference cache-strategy flags (utils/config.py:59-63) → feature stores
     cache_strategy: str = "none"         # none|direct|static-outd|fifo|lru
     cache_size_ratio: float = 0.05
+    stream: str = "f32"                  # kernel feature stream: f32 | bf16x2
 
     def print_params(self, prtf=print) -> None:
         prtf("")
@@ -108,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-resident feature store policy")
     p.add_argument("--cache-size-ratio", dest="cache_size_ratio", type=float,
                    default=d.cache_size_ratio)
+    p.add_argument("--stream", default=d.stream, choices=["f32", "bf16x2"],
+                   help="Pallas kernel feature stream precision (bf16x2: "
+                        "1.33x faster aggregation at bf16 precision — the "
+                        "reference runs TF32 matmuls)")
     return p
 
 

@@ -55,6 +55,9 @@ class Trainer:
         self.dataset = dataset
         self.g = dataset.graph
         dtype = jnp.dtype(config.dtype)
+        if config.stream != "f32":
+            from spgemm_gnn_tpu.kernels import planned
+            planned.DEFAULT_STREAM = config.stream
         self.mesh = None
         if config.mesh_shape > 1:
             # graph-partition data layout over a 1-D device mesh: node arrays
