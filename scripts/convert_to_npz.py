@@ -19,14 +19,13 @@ def convert(name: str, root: str, out: str) -> str:
     if name in ("reddit", "flickr", "yelp"):
         import dgl
         from dgl.data import RedditDataset, FlickrDataset, YelpDataset
-        from dgl import AddSelfLoop
         cls = {"reddit": RedditDataset, "flickr": FlickrDataset,
                "yelp": YelpDataset}[name]
-        # NOTE: reference applies AddSelfLoop at load time for these datasets
-        # (maxk_gnn_dgl.py:221-227); we store the RAW graph and let the
-        # framework's --selfloop flag control the transform, matching the
-        # reference's effective default behaviour when set.
-        data = cls(transform=AddSelfLoop(), raw_dir=root)
+        # The RAW graph is stored; the framework's --selfloop flag applies the
+        # remove-then-add transform at load time, matching the reference's
+        # AddSelfLoop at maxk_gnn_dgl.py:221-227. (Pass --selfloop when
+        # training on reddit/flickr/yelp for reference parity.)
+        data = cls(raw_dir=root)
         g = data[0]
         src, dst = g.edges()
         payload = dict(

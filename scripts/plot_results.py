@@ -50,7 +50,9 @@ def main():
             print(f"{name}: {d['metric']} = {d['value']} {d['unit']} "
                   f"({d['vs_baseline']}x vs baseline)")
         for name, d in acc:
-            print(f"{name}: best test {d.get('best_test_accuracy'):.4f} "
+            best = d.get("best_test_accuracy", d.get("test_acc"))
+            best_s = f"{best:.4f}" if best is not None else "n/a"
+            print(f"{name}: best test {best_s} "
                   f"in {d.get('wall_time_s', 0):.0f}s")
         return
 
@@ -74,8 +76,9 @@ def main():
     if acc:
         ax = axes[i]
         labels = [n for n, _ in acc]
-        ax.bar(range(len(acc)), [d["best_test_accuracy"] for _, d in acc],
-               color="#55A868")
+        vals = [d.get("best_test_accuracy", d.get("test_acc", 0.0)) or 0.0
+                for _, d in acc]
+        ax.bar(range(len(acc)), vals, color="#55A868")
         ax.set_xticks(range(len(acc)))
         ax.set_xticklabels(labels, rotation=30, ha="right", fontsize=8)
         ax.set_ylabel("best test accuracy")

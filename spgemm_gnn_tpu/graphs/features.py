@@ -80,21 +80,19 @@ class HostFeatureStore(FeatureStore):
         # cache bookkeeping: node id -> slot in the device cache buffer
         self._slot_of: dict[int, int] = {}
         self._order: collections.OrderedDict[int, None] = collections.OrderedDict()
+        # NOTE: the cache is policy/accounting state (which rows WOULD be
+        # device-resident under each policy, with hit/miss stats — the
+        # reference cache classes' role); the device-side merge fast path is a
+        # future optimisation, so no device buffer is allocated eagerly.
         if policy == "static-outd":
             if out_degrees is None:
                 raise ValueError("static-outd policy needs out_degrees")
             top = np.argsort(-np.asarray(out_degrees), kind="stable")
             top = top[: self.capacity]
             self._slot_of = {int(n): i for i, n in enumerate(top)}
-            self._cache_buf = jax.device_put(
-                self._host[top].astype(np.float32)
-            ).astype(dtype) if len(top) else None
         elif policy in ("fifo", "lru") and self.capacity > 0:
             self._cache_np = np.zeros((self.capacity, self.dim), np.float32)
-            self._cache_buf = None   # lazily mirrored to device
             self._free = list(range(self.capacity))
-        else:
-            self._cache_buf = None
 
     # -- stats ---------------------------------------------------------------
     @property
@@ -115,11 +113,14 @@ class HostFeatureStore(FeatureStore):
 
     def fetch(self, node_ids) -> jax.Array:
         ids = np.asarray(node_ids).ravel()
+        if ids.size == 0:
+            return jnp.zeros((0, self.dim), self._dtype)
         if self.policy == "direct" or self.capacity == 0:
             self._misses += len(ids)
             return jnp.asarray(self._host[ids], self._dtype)
 
-        in_cache = np.array([i in self._slot_of for i in ids.tolist()])
+        in_cache = np.array([i in self._slot_of for i in ids.tolist()],
+                            dtype=bool)
         self._hits += int(in_cache.sum())
         self._misses += int((~in_cache).sum())
         miss_ids = ids[~in_cache]

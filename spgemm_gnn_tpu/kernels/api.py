@@ -164,11 +164,6 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
         g = g.graph
     if k is None or k >= x.shape[-1]:
         return _dense_spmm(g, x, norm)
-    # Recover CBSR from the masked-dense MaxK output: the support is the set of
-    # nonzero entries; top_k on the 0/1 indicator pads rows with <k nonzeros
-    # with arbitrary zero-valued channels (harmless).
-    indicator = (x != 0).astype(jnp.float32)
-    _, idx = jax.lax.top_k(indicator, k)
-    channels = jnp.sort(idx, axis=-1).astype(jnp.int32)
-    values = jnp.take_along_axis(x, channels, axis=-1)
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
+    values, channels = cbsr_from_masked(x, k)
     return aggregate_cbsr(g, values, channels, x.shape[-1], norm, impl)

@@ -60,11 +60,12 @@ def _row_mask(keys: jax.Array, k: int) -> jax.Array:
     g_cnt = jnp.sum(greater, axis=-1, keepdims=True)
     ties = keys == t
 
-    # step 3: tie resolution on channel index (keep lowest indices)
+    # step 3: tie resolution on channel index (keep lowest indices); the
+    # search must span [0, dim] so the bound can include the last channel
     iota = jax.lax.broadcasted_iota(jnp.int32, bdim, len(bdim) - 1)
     c = jnp.zeros_like(t)
     budget = k - g_cnt
-    for bit in range(10, -1, -1):
+    for bit in range(int(dim).bit_length(), -1, -1):
         cand = c | jnp.int32(1 << bit)
         cnt = jnp.sum(ties & (iota < cand), axis=-1, keepdims=True)
         c = jnp.where(cnt <= budget, cand, c)

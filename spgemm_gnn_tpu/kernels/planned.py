@@ -114,7 +114,8 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
     v = values if src_f is None else values * src_f[:, None].astype(values.dtype)
     xt = densify_transpose(v, channels, dim, fwd_plan.padded_src,
                            out_dtype=stream_dtype, interpret=_interpret())
-    y = planned_spmm(fwd_plan, xt, interpret=_interpret())[:n]
+    y = planned_spmm(fwd_plan, xt, stream=DEFAULT_STREAM,
+                     interpret=_interpret())[:n]
     return _scale(y, dst_f)
 
 

@@ -49,6 +49,21 @@ def maxk_cbsr(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return values, channels
 
 
+def cbsr_from_masked(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """CBSR of an already MaxK-masked dense array (≤ k nonzeros per row).
+
+    The support is the NONZERO set, so the selection runs top_k on the 0/1
+    indicator — top_k on values would mis-rank zeros above negative survivors.
+    Rows with fewer than k nonzeros pad with arbitrary zero-valued channels
+    (harmless to aggregation).
+    """
+    indicator = (x != 0).astype(jnp.float32)
+    _, idx = jax.lax.top_k(indicator, k)
+    channels = jnp.sort(idx, axis=-1).astype(jnp.int32)
+    values = jnp.take_along_axis(x, channels, axis=-1)
+    return values, channels
+
+
 def cbsr_to_dense(values: jax.Array, channels: jax.Array, dim: int) -> jax.Array:
     """Scatter CBSR back to a dense [N, dim] array (zeros elsewhere)."""
     n = values.shape[0]

@@ -204,7 +204,9 @@ def _run_shard_kernel(sp: ShardedPlan, x_blk, wsd, wss, esrc, edst, axis,
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     plan = sp.local_plan(wsd[0], wss[0], esrc[0], edst[0])
-    y = planned_spmm(plan, xt, interpret=_interpret())
+    from spgemm_gnn_tpu.kernels import planned as _planned
+    y = planned_spmm(plan, xt, stream=_planned.DEFAULT_STREAM,
+                     interpret=_interpret())
     return y[:out_rows]
 
 
@@ -241,14 +243,9 @@ def _sharded_planned_fwd(x, src_f, dst_f, spg, k):
     dim = x.shape[-1]
 
     if k is not None and k < dim:
-        # compress BEFORE the collective: k values + k channels per node.
-        # The support is the nonzero set of the MaxK-masked input (top_k on
-        # the 0/1 indicator — top_k on values would mis-rank zeros above
-        # negative survivors).
-        indicator = (xs != 0).astype(jnp.float32)
-        _, idx = jax.lax.top_k(indicator, k)
-        ch = jnp.sort(idx, axis=-1).astype(jnp.int32)
-        vals = jnp.take_along_axis(xs, ch, axis=-1)
+        # compress BEFORE the collective: k values + k channels per node
+        from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
+        vals, ch = cbsr_from_masked(xs, k)
 
         def body(v_blk, c_blk, wsd, wss, esrc, edst):
             return _run_shard_kernel_cbsr(sp, v_blk, c_blk, dim, wsd, wss,

@@ -55,9 +55,9 @@ class Trainer:
         self.dataset = dataset
         self.g = dataset.graph
         dtype = jnp.dtype(config.dtype)
-        if config.stream != "f32":
-            from spgemm_gnn_tpu.kernels import planned
-            planned.DEFAULT_STREAM = config.stream
+        from spgemm_gnn_tpu.kernels import planned
+        planned.DEFAULT_STREAM = config.stream   # set unconditionally: the
+        # knob is process-global and a previous Trainer may have changed it
         self.mesh = None
         if config.mesh_shape > 1:
             # graph-partition data layout over a 1-D device mesh: node arrays
@@ -263,9 +263,10 @@ class Trainer:
                         "Val Accuracy %.4f | Test Accuracy %.4f | "
                         "Best val. Accuracy %.4f | Best test Accuracy %.4f",
                         epoch, epochs, loss, tr, va, te, best_val, best_test)
-                if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-                    ckpt.save_checkpoint(cfg.path, state, epoch + 1,
-                                         is_best=(best_epoch == epoch))
+            # periodic checkpointing is independent of the eval cadence
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                ckpt.save_checkpoint(cfg.path, state, epoch + 1,
+                                     is_best=(best_epoch == epoch))
         jax.block_until_ready(state["params"])
         wall = time.perf_counter() - t_start
         if cfg.checkpoint_every:
