@@ -228,6 +228,13 @@ class Trainer:
         epochs = cfg.epochs if epochs is None else epochs
         state = self.init_state()
         from spgemm_gnn_tpu.utils.logging import param_size
+        # shape/size trace at start (reference logs input/per-layer shapes on
+        # epoch 0 via forward hooks, maxk_gnn_dgl.py:101-126)
+        self.logger.info("Input features shape: %s",
+                         tuple(self.features.shape))
+        self.logger.info("Hidden: %d x %d layers -> %d classes",
+                         cfg.hidden_dim, cfg.hidden_layers,
+                         self.dataset.num_classes)
         self.logger.info("Model parameters: %.2f MB",
                          param_size(state["params"]))
         start_epoch = 0
