@@ -69,9 +69,13 @@ def main():
         if os.path.exists(result_cache):
             with open(result_cache) as f:
                 cached = json.load(f)
+            recorded = cached.pop("_recorded", "earlier")
+            # machine-distinguishable stale marker: consumers of the JSON line
+            # must be able to tell a cached fallback from a fresh measurement
+            cached["stale"] = True
+            cached["recorded"] = recorded
             log(f"watchdog: device stalled; emitting the last successful "
-                f"measurement from {result_cache} "
-                f"(recorded {cached.pop('_recorded', 'earlier')})")
+                f"measurement from {result_cache} (recorded {recorded})")
             print(json.dumps(cached), flush=True)
         else:
             print(json.dumps({"metric": metric, "value": 0.0,

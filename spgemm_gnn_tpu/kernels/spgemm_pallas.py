@@ -66,8 +66,10 @@ def _slab_gather(xt, idx):
     for s in range(b // LANES):
         sub = jnp.take_along_axis(xt[:, s * LANES:(s + 1) * LANES], lane2d,
                                   axis=1)        # [dim, C]
-        sel = (slab_id == s).astype(xt.dtype)    # [C]
-        out = out + sub * sel[None, :]
+        # select, never float-multiply: xt may hold bf16x2 bit-packed f32
+        # whose values are subnormal/NaN — TPU VPU arithmetic would flush or
+        # poison them; a mux passes bits through untouched.
+        out = jnp.where((slab_id == s)[None, :], sub, out)
     return out
 
 

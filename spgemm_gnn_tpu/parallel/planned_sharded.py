@@ -223,7 +223,9 @@ def _run_shard_kernel_cbsr(sp: ShardedPlan, vals_blk, ch_blk, dim, wsd, wss,
     xt = densify_transpose(vals_full, ch_full, dim, n_cols,
                            interpret=_interpret())               # [dim, cols]
     plan = sp.local_plan(wsd[0], wss[0], esrc[0], edst[0])
-    y = planned_spmm(plan, xt, interpret=_interpret())
+    from spgemm_gnn_tpu.kernels import planned as _planned
+    y = planned_spmm(plan, xt, stream=_planned.DEFAULT_STREAM,
+                     interpret=_interpret())
     return y[:out_rows]
 
 

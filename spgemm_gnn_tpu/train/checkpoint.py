@@ -60,14 +60,23 @@ def restore_checkpoint(path_or_dir: str, target: dict[str, Any]
             p = os.path.join(base, "best")
         else:
             raise FileNotFoundError(f"no checkpoints under {base}")
+    def _like(t, r):
+        """Restore value r with the dtype AND sharding of the target leaf —
+        otherwise a mesh run resumes with unsharded arrays and the next
+        donated jit call recompiles/double-buffers (ADVICE r1)."""
+        arr = jax.numpy.asarray(r, dtype=getattr(t, "dtype", None))
+        sh = getattr(t, "sharding", None)
+        if isinstance(t, jax.Array) and sh is not None:
+            arr = jax.device_put(arr, sh)
+        return arr
+
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(p, item=jax.device_get(target))
-        return jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(
-            r, dtype=getattr(t, "dtype", None)), target, restored)
+        return jax.tree_util.tree_map(_like, target, restored)
     flat, treedef = jax.tree_util.tree_flatten(target)
     z = np.load(os.path.join(p, "state.npz"))
-    leaves = [z[f"arr_{i}"] for i in range(len(flat))]
+    leaves = [_like(t, z[f"arr_{i}"]) for i, t in enumerate(flat)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

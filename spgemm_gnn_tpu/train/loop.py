@@ -246,6 +246,7 @@ class Trainer:
                 self.logger.info("Resumed from step %d", start_epoch)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val, best_test, best_epoch = 0.0, 0.0, -1
+        best_state = None   # host snapshot at the best-val epoch
         history: list[EpochRecord] = []
 
         t_start = time.perf_counter()
@@ -260,6 +261,11 @@ class Trainer:
                                     float(te))
                 if va > best_val:
                     best_val, best_test, best_epoch = va, te, epoch
+                    if cfg.checkpoint_every:
+                        # remember the best-val state (saved at the end) so the
+                        # 'best' checkpoint exists regardless of whether the
+                        # best epoch lands on a checkpoint_every boundary
+                        best_state = jax.device_get(state)
                 rec = EpochRecord(epoch, loss, tr, va, te)
                 history.append(rec)
                 if on_epoch is not None:
@@ -278,6 +284,9 @@ class Trainer:
         wall = time.perf_counter() - t_start
         if cfg.checkpoint_every:
             ckpt.save_checkpoint(cfg.path, state, epochs)
+            if best_state is not None:
+                ckpt.save_checkpoint(cfg.path, best_state, best_epoch + 1,
+                                     is_best=True)
 
         return {
             "best_val_accuracy": best_val,

@@ -42,6 +42,18 @@ def test_resume_continues(tmp_path):
     assert ckpt.latest_step(str(tmp_path)) == 8
 
 
+def test_best_checkpoint_saved_off_boundary(tmp_path):
+    """The 'best' checkpoint must exist even when the best-val epoch does not
+    land on a checkpoint_every boundary (ADVICE r1): the loop snapshots the
+    state on every val improvement and writes 'best' at the end."""
+    import os
+    c = cfg(tmp_path, epochs=7, checkpoint_every=7, eval_every=1)
+    res = Trainer(c).run()
+    best_dir = os.path.join(str(tmp_path), "checkpoints", "best")
+    assert res["best_epoch"] >= 0
+    assert os.path.isdir(best_dir)
+
+
 def test_evaluate_checkpoint(tmp_path):
     c = cfg(tmp_path, epochs=4, checkpoint_every=4)
     t = Trainer(c)

@@ -100,3 +100,21 @@ def test_bf16x2_packed_stream(pg, rng):
     assert np.max(np.abs(y16 - y32)) / scale < 2e-2   # bf16 mantissa
     # correlation sanity: same structure
     np.testing.assert_allclose(y16, y32, rtol=0.1, atol=0.05 * scale)
+
+
+def test_bf16x2_maxk_sparse_stream(pg, rng):
+    """bf16x2 with MaxK-sparse input — the dominant real workload: most lanes
+    are zero, so the packed f32 words are frequently subnormal (hi half = 0).
+    The kernel must treat packed words as opaque bits (select, never float
+    arithmetic — ADVICE r1) or these values silently flush to zero on TPU.
+    With k-sparse bf16-representable inputs the result must be EXACT."""
+    from spgemm_gnn_tpu.kernels.spgemm_pallas import planned_spmm
+    plan = pg.fwd_plan
+    n = plan.padded_src
+    # bf16-exact values (small ints) so the stream itself is lossless
+    x = rng.integers(-8, 9, size=(n, DIM)).astype(np.float32)
+    x = np.asarray(maxk(jnp.asarray(x + 0.125 * np.sign(x)), K))  # k-sparse
+    xt = jnp.asarray(x.T)
+    y32 = np.asarray(planned_spmm(plan, xt, interpret=True))
+    y16 = np.asarray(planned_spmm(plan, xt, stream="bf16x2", interpret=True))
+    np.testing.assert_allclose(y16, y32, rtol=0, atol=1e-6)
