@@ -67,13 +67,19 @@ def _cached_powerlaw(n_nodes: int, n_edges: int, seed: int):
 
 def _bench_inputs(n_nodes: int, n_edges: int, dim: int, k: int, seed: int,
                   plan_kw: dict | None):
+    import os
     from spgemm_gnn_tpu.ops.maxk import maxk
     g = _cached_powerlaw(n_nodes, n_edges // 2, seed)
-    pg = plan_graph(g, **(plan_kw or {}))
-    rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".bench_cache")
+    pg = plan_graph(g, cache_dir=cache_dir, **(plan_kw or {}))
+    # feature/cotangent inputs are generated ON DEVICE: the axon tunnel moves
+    # ~1 MB/s, so host-side RNG would add minutes of startup per bench run
+    key = jax.random.PRNGKey(seed)
+    x0 = jax.random.normal(key, (g.num_nodes, dim), jnp.float32)
     xk = maxk(x0, k)   # the masked-dense activations the models aggregate
-    ct = jnp.asarray(rng.standard_normal((g.num_nodes, dim), dtype=np.float32))
+    ct = jax.random.normal(jax.random.fold_in(key, 1),
+                           (g.num_nodes, dim), jnp.float32)
     return g, pg, xk, ct
 
 

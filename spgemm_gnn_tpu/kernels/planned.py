@@ -19,16 +19,27 @@ import jax.numpy as jnp
 from flax import struct
 
 from spgemm_gnn_tpu.graphs.csr import Graph
-from spgemm_gnn_tpu.graphs.tiles import TilePlan, plan_for_graph
+from spgemm_gnn_tpu.graphs.stream_tiles import (
+    StreamPlan, auto_stream_window, predicted_windowed_fill,
+    stream_plan_for_graph)
+from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, plan_for_graph
 from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_transpose, planned_spmm
+from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm
+
+# below this predicted chunk fill the windowed (src-blocked) kernel loses to
+# the streaming formulation — switch plan kinds (graphs/stream_tiles.py)
+WINDOWED_FILL_CUTOVER = 0.25
 
 
 @struct.dataclass
 class PlannedGraph:
-    """Graph + tile plans. Quacks like Graph for norm/degree computations."""
+    """Graph + tile plans. Quacks like Graph for norm/degree computations.
+
+    Plans are either windowed TilePlans (dense regime) or StreamPlans
+    (low-degree regime) — `plan_graph(kind="auto")` picks per direction."""
     graph: Graph
-    fwd_plan: TilePlan
-    bwd_plan: TilePlan   # built on the transpose CSR
+    fwd_plan: TilePlan | StreamPlan
+    bwd_plan: TilePlan | StreamPlan   # built on the transpose CSR
 
     # -- Graph delegation ---------------------------------------------------
     @property
@@ -65,16 +76,54 @@ class PlannedGraph:
 
 
 def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
-               dst_block: int = 4096,
-               window: int | None = None) -> PlannedGraph:
+               dst_block: int = 4096, window: int | None = None,
+               kind: str = "auto", cache_dir: str | None = None
+               ) -> PlannedGraph:
     """Build both plans for a graph (host-side, once; the generate_meta role).
 
+    kind: "windowed" | "stream" | "auto" — auto predicts the windowed chunk
+    fill from the degree statistics and switches to the streaming plan below
+    WINDOWED_FILL_CUTOVER (the flickr/yelp/products regime).
+    cache_dir: if set, plans are persisted to disk keyed by the CSR content
+    fingerprint + parameters (the reference's `64_warp_4/*.warp4` metadata
+    amortisation — kernels/generate_meta.py role); second runs skip the build.
     For symmetric graphs the transpose CSR is the CSR itself, so the backward
     plan aliases the forward plan (halves build time and device transfer)."""
-    kw = dict(tile_slots=tile_slots, src_block=src_block, dst_block=dst_block,
-              window=window)
-    fwd = plan_for_graph(g, transpose=False, **kw)
-    bwd = fwd if g.symmetric else plan_for_graph(g, transpose=True, **kw)
+    if kind not in ("auto", "windowed", "stream"):
+        raise ValueError(f"unknown plan kind {kind!r}")
+
+    def one(transpose: bool):
+        k = kind
+        if k == "auto":
+            rw = window or auto_window(g.num_nodes, g.num_edges, src_block)
+            est = predicted_windowed_fill(g.num_nodes, g.num_edges,
+                                          src_block, g.num_nodes, rw)
+            k = "windowed" if est >= WINDOWED_FILL_CUTOVER else "stream"
+
+        def build():
+            if k == "windowed":
+                return plan_for_graph(g, transpose=transpose,
+                                      tile_slots=tile_slots,
+                                      src_block=src_block,
+                                      dst_block=dst_block, window=window)
+            return stream_plan_for_graph(
+                g, transpose=transpose, tile_slots=tile_slots,
+                dst_block=dst_block,
+                window=window if kind == "stream" else None)
+
+        if not cache_dir:
+            return build()
+        from spgemm_gnn_tpu.graphs.plan_cache import (
+            cached_plan, graph_fingerprint, plan_key)
+        ip = g.t_indptr if transpose else g.indptr
+        ix = g.t_indices if transpose else g.indices
+        key = plan_key(graph_fingerprint(ip, ix),
+                       "t" if transpose else "f", k, S=tile_slots,
+                       B=src_block, R=dst_block, W=window)
+        return cached_plan(cache_dir, key, build)
+
+    fwd = one(False)
+    bwd = fwd if g.symmetric else one(True)
     return PlannedGraph(graph=g, fwd_plan=fwd, bwd_plan=bwd)
 
 
@@ -93,16 +142,9 @@ def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
 
 
-def _planned_dense_spmm(plan: TilePlan, x: jax.Array,
-                        stream_dtype) -> jax.Array:
-    """A · x over the plan for dense x [N, dim] → [N, dim] (f32)."""
-    n = x.shape[0]
-    xt = x.astype(stream_dtype).T                    # [dim, N]
-    pad = plan.padded_src - n
-    if pad:
-        xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret())
-    return y[:n]
+def _planned_dense_spmm(plan, x: jax.Array, stream_dtype) -> jax.Array:
+    """A · x over the plan for dense x [N, dim] → [N, dim] (f32), square case."""
+    return _planned_spmm_rows(plan, x.astype(stream_dtype), x.shape[0])
 
 
 def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
@@ -112,6 +154,12 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
     fwd_plan, _ = plans
     n = values.shape[0]
     v = values if src_f is None else values * src_f[:, None].astype(values.dtype)
+    if isinstance(fwd_plan, StreamPlan):
+        from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+        x = cbsr_to_dense(v, channels, dim).astype(stream_dtype)
+        y = stream_spmm(fwd_plan, x, stream=DEFAULT_STREAM,
+                        interpret=_interpret())[:n]
+        return _scale(y, dst_f)
     xt = densify_transpose(v, channels, dim, fwd_plan.padded_src,
                            out_dtype=stream_dtype, interpret=_interpret())
     y = planned_spmm(fwd_plan, xt, stream=DEFAULT_STREAM,
@@ -143,25 +191,60 @@ def sspmm_backward(g_ct, channels, src_f, dst_f, plans,
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _planned_aggregate(x, src_f, dst_f, plans):
-    return _planned_aggregate_fwd(x, src_f, dst_f, plans)[0]
+def _planned_spmm_rows(plan, x, out_rows: int) -> jax.Array:
+    """A · x over the plan, output sliced to out_rows (the plan's row space
+    may be rectangular: halo plans map [(D-1)·M] sources → [nps] rows).
+
+    Dispatches on the plan kind: windowed TilePlan (transposed features,
+    in-kernel slab gather) or StreamPlan (row-major features, XLA gather +
+    Pallas windowed reduce)."""
+    if isinstance(plan, StreamPlan):
+        y = stream_spmm(plan, x, stream=DEFAULT_STREAM,
+                        interpret=_interpret())
+        return y[:out_rows]
+    xt = x.T                                         # [dim, N]
+    pad = plan.padded_src - x.shape[0]
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret())
+    return y[:out_rows]
 
 
-def _planned_aggregate_fwd(x, src_f, dst_f, plans):
+# shape_io: None for the square case (output rows = input rows, as in
+# single-chip model aggregation), or a static (n_out, n_in) pair for
+# rectangular plan pairs (the multi-chip halo path: fwd maps n_in halo
+# sources → n_out local rows; bwd maps n_out rows → n_in halo cotangents).
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _planned_aggregate(shape_io, x, src_f, dst_f, plans):
+    return _planned_aggregate_fwd(shape_io, x, src_f, dst_f, plans)[0]
+
+
+def _planned_aggregate_fwd(shape_io, x, src_f, dst_f, plans):
     fwd_plan, _ = plans
-    y = _planned_dense_spmm(fwd_plan, _scale(x, src_f), x.dtype)
+    n_out = x.shape[0] if shape_io is None else shape_io[0]
+    y = _planned_spmm_rows(fwd_plan, _scale(x, src_f), n_out)
     return _scale(y, dst_f), (src_f, dst_f, plans)
 
 
-def _planned_aggregate_bwd(res, g):
+def _planned_aggregate_bwd(shape_io, res, g):
     src_f, dst_f, plans = res
     _, bwd_plan = plans
-    dx = _planned_dense_spmm(bwd_plan, _scale(g, dst_f), g.dtype)
+    n_in = g.shape[0] if shape_io is None else shape_io[1]
+    dx = _planned_spmm_rows(bwd_plan, _scale(g, dst_f), n_in)
     return (_scale(dx, src_f), None, None, None)
 
 
 _planned_aggregate.defvjp(_planned_aggregate_fwd, _planned_aggregate_bwd)
+
+
+def planned_pair_apply(x: jax.Array, plans, n_out: int,
+                       src_f=None, dst_f=None) -> jax.Array:
+    """y[:n_out] = A_w · x through a (fwd, bwd) plan pair, differentiable.
+
+    Supports rectangular pairs: fwd maps x's rows → n_out rows; bwd (the
+    transpose plan) maps n_out rows → x's rows. Used by the multi-chip halo
+    path (parallel/planned_sharded.py)."""
+    return _planned_aggregate((n_out, x.shape[0]), x, src_f, dst_f, plans)
 
 
 def planned_aggregate(pg: PlannedGraph, x: jax.Array,
@@ -169,4 +252,5 @@ def planned_aggregate(pg: PlannedGraph, x: jax.Array,
     """y = A_w · x through the Pallas kernel pair (fwd + transpose-bwd)."""
     from spgemm_gnn_tpu.ops.norms import node_factors
     src_f, dst_f = node_factors(pg, norm)
-    return _planned_aggregate(x, src_f, dst_f, (pg.fwd_plan, pg.bwd_plan))
+    return _planned_aggregate(None, x, src_f, dst_f,
+                              (pg.fwd_plan, pg.bwd_plan))

@@ -11,6 +11,8 @@ as O(N·dim) pre/post scalings rather than O(E) per-edge multiplies.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,11 +46,37 @@ def _gather_segsum(indices, edge_dst, num_nodes, x):
     return jnp.concatenate(outs, axis=-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_core(num_nodes, x, src_f, dst_f,
+               indices, edge_dst, t_indices, t_edge_dst):
+    return _spmm_core_fwd(num_nodes, x, src_f, dst_f, indices, edge_dst,
+                          t_indices, t_edge_dst)[0]
+
+
+def _spmm_core_fwd(num_nodes, x, src_f, dst_f,
+                   indices, edge_dst, t_indices, t_edge_dst):
+    y = _gather_segsum(indices, edge_dst, num_nodes, _scale(x, src_f))
+    return _scale(y, dst_f), (src_f, dst_f, t_indices, t_edge_dst)
+
+
+def _spmm_core_bwd(num_nodes, res, g_ct):
+    # the adjoint is the same gather + SORTED segment_sum on the transpose
+    # CSR — without this, autodiff differentiates the forward gather into an
+    # unsorted scatter-add, which XLA lowers ~20× slower (RESULTS.md k-sweep)
+    src_f, dst_f, t_indices, t_edge_dst = res
+    dx = _gather_segsum(t_indices, t_edge_dst, num_nodes,
+                        _scale(g_ct, dst_f))
+    return (_scale(dx, src_f), None, None, None, None, None, None)
+
+
+_spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
+
+
 def spmm(g, x: jax.Array, norm: str = "sum") -> jax.Array:
     """y[v] = Σ_{in-edges u→v} w_e · x[u] with w from `norm` (sum/mean/gcn)."""
     src_f, dst_f = node_factors(g, norm)
-    y = _gather_segsum(g.indices, g.edge_dst, g.num_nodes, _scale(x, src_f))
-    return _scale(y, dst_f)
+    return _spmm_core(g.num_nodes, x, src_f, dst_f, g.indices, g.edge_dst,
+                      g.t_indices, g.t_edge_dst)
 
 
 def spmm_transpose(g, y: jax.Array, norm: str = "sum") -> jax.Array:

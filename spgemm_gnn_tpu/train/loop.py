@@ -91,9 +91,14 @@ class Trainer:
                                 dataset.test_mask))
         elif config.impl in ("pallas", "auto"):
             # single device: attach tile plans so the Pallas kernels engage
-            # (the planned kernel accelerates the ReLU-dense path too)
+            # (the planned kernel accelerates the ReLU-dense path too).
+            # Real-dataset plans are disk-cached next to the data (the
+            # generate_meta.py amortisation) so reruns skip the build.
+            import os
             from spgemm_gnn_tpu.kernels.planned import plan_graph
-            self.g = plan_graph(dataset.graph)
+            cache = (None if config.synthetic
+                     else os.path.join(config.data_path, "plans"))
+            self.g = plan_graph(dataset.graph, cache_dir=cache)
             self.features = self._load_features(dataset, dtype)
             self.labels = jnp.asarray(dataset.labels)
             self.masks = tuple(jnp.asarray(m) for m in

@@ -1,0 +1,194 @@
+"""Streaming (low-degree) Pallas kernel tests — interpreter mode against the
+XLA oracle, covering the regime the windowed kernel abandons (VERDICT r1 #1:
+flickr/yelp/products density must run on a Pallas path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spgemm_gnn_tpu.graphs.stream_tiles import (
+    StreamPlan, build_stream_plan, stream_plan_for_graph)
+from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
+from spgemm_gnn_tpu.graphs.tiles import TilePlan
+from spgemm_gnn_tpu.kernels.planned import (
+    PlannedGraph, plan_graph, planned_aggregate)
+from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm
+from spgemm_gnn_tpu.ops.spmm import spmm
+
+DIM = 128
+
+
+@pytest.fixture(scope="module", params=["lowdeg", "uniform", "directed",
+                                        "skewed"])
+def graph(request):
+    # avg degree ~4-8: far below the windowed kernel's fill floor
+    if request.param == "lowdeg":
+        return powerlaw_graph(900, 4000, seed=21)
+    if request.param == "uniform":
+        return random_graph(700, 3000, seed=22)
+    if request.param == "directed":
+        return random_graph(650, 2600, seed=23, symmetric=False)
+    return powerlaw_graph(500, 4500, alpha=1.1, seed=24)   # hub-heavy
+
+
+def _dense_oracle(g):
+    a = np.zeros((g.num_nodes, g.num_nodes), np.float64)
+    src = np.asarray(g.indices)
+    dst = np.asarray(g.edge_dst)
+    np.add.at(a, (dst, src), 1.0)
+    return a
+
+
+@pytest.mark.parametrize("dst_block", [128, 256])
+def test_plan_edge_conservation(graph, dst_block):
+    """Every edge appears exactly once across groups/tiles/slots."""
+    plan = stream_plan_for_graph(graph, tile_slots=256, dst_block=dst_block,
+                                 group_tiles=8)
+    esrc = np.asarray(plan.e_src)
+    edst = np.asarray(plan.e_dst)
+    wsl = np.asarray(plan.ws_local)
+    row0 = np.asarray(plan.row0)
+    real = edst >= 0
+    assert real.sum() == graph.num_edges
+    # reconstruct (dst, src) multiset
+    got = []
+    for g_i in range(plan.num_groups):
+        for w in range(plan.group_tiles):
+            m = real[g_i, w]
+            rows = row0[g_i] + wsl[g_i, w] * dst_block + edst[g_i, w][m]
+            got.append(np.stack([rows, esrc[g_i, w][m]], 1))
+    got = np.concatenate(got) if got else np.zeros((0, 2), np.int64)
+    dst = np.asarray(graph.edge_dst)
+    src = np.asarray(graph.indices)
+    want = np.stack([dst, src], 1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    want = want[np.lexsort((want[:, 1], want[:, 0]))]
+    np.testing.assert_array_equal(got, want)
+    assert plan.fill > 0.3   # the whole point of the stream layout
+
+
+def test_plan_window_contract(graph):
+    """Chunks stay inside an 8-aligned RW window of one dst block."""
+    plan = stream_plan_for_graph(graph, tile_slots=256, dst_block=256)
+    edst = np.asarray(plan.e_dst)
+    rw, r = plan.window, plan.dst_block
+    for g_i in range(plan.num_groups):
+        for w in range(plan.group_tiles):
+            for c0 in range(0, plan.tile_slots, 128):
+                rows = edst[g_i, w, c0:c0 + 128].astype(np.int64)
+                rows = rows[rows >= 0]
+                if not len(rows):
+                    continue
+                w0 = max(min((rows[0] // 8) * 8, r - rw), 0)
+                assert rows.min() >= w0 and rows.max() < w0 + rw
+
+
+@pytest.mark.parametrize("norm", ["sum", "mean", "gcn"])
+def test_stream_forward_matches_xla(graph, rng, norm):
+    pg = plan_graph(graph, kind="stream", tile_slots=256, dst_block=256)
+    assert isinstance(pg.fwd_plan, StreamPlan)
+    x = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    y_s = np.asarray(planned_aggregate(pg, x, norm))
+    y_x = np.asarray(spmm(graph, x, norm))
+    np.testing.assert_allclose(y_s, y_x, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm", ["sum", "mean"])
+def test_stream_backward_matches_xla(graph, rng, norm):
+    pg = plan_graph(graph, kind="stream", tile_slots=256, dst_block=256)
+    x = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    ct = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    gp = np.asarray(jax.grad(
+        lambda v: (planned_aggregate(pg, v, norm) * ct).sum())(x))
+    gx = np.asarray(jax.grad(
+        lambda v: (spmm(graph, v, norm) * ct).sum())(x))
+    np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_group_scan_path(graph, rng):
+    """Tiny group budget forces the lax.scan accumulation across many groups;
+    result must be identical to a single-group plan."""
+    p_many = stream_plan_for_graph(graph, tile_slots=128, dst_block=128,
+                                   group_tiles=2)
+    p_one = stream_plan_for_graph(graph, tile_slots=1024, dst_block=4096)
+    assert p_many.num_groups > 3
+    x = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    y_many = np.asarray(
+        stream_spmm(p_many, x, interpret=True))[:graph.num_nodes]
+    y_one = np.asarray(
+        stream_spmm(p_one, x, interpret=True))[:graph.num_nodes]
+    np.testing.assert_allclose(y_many, y_one, rtol=1e-5, atol=1e-5)
+    a = _dense_oracle(graph)
+    np.testing.assert_allclose(y_one, a @ np.asarray(x, np.float64),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_auto_kind_selection():
+    """Low-degree graphs at scale (many source blocks — the flickr/yelp/
+    products regime) get stream plans; dense graphs keep windowed plans.
+    Small graphs stay windowed even at low degree: with few source blocks the
+    windowed fill is genuinely high."""
+    from spgemm_gnn_tpu.graphs.stream_tiles import predicted_windowed_fill
+    from spgemm_gnn_tpu.graphs.tiles import auto_window
+    # flickr-shaped: N=89K deg~11 → predicted windowed fill ≈ 0.06
+    rw = auto_window(89_250, 989_006, 256)
+    assert predicted_windowed_fill(89_250, 989_006, 256, 89_250, rw) < 0.25
+    # reddit-shaped: N=233K deg~492 → windowed stays
+    rw = auto_window(232_965, 114_615_892, 256)
+    assert predicted_windowed_fill(232_965, 114_615_892, 256, 232_965,
+                                   rw) >= 0.25
+    # plan_graph auto on a buildable-size sparse graph with many src blocks
+    sparse = random_graph(20_000, 90_000, seed=31)      # deg ~4.5
+    dense = random_graph(300, 30_000, seed=32)          # deg ~100+
+    assert isinstance(plan_graph(sparse).fwd_plan, StreamPlan)
+    assert isinstance(plan_graph(dense).fwd_plan, TilePlan)
+
+
+def test_stream_bf16_stream(graph, rng):
+    plan = stream_plan_for_graph(graph, tile_slots=256, dst_block=256)
+    x = rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32)
+    y32 = np.asarray(stream_spmm(plan, jnp.asarray(x), interpret=True))
+    y16 = np.asarray(stream_spmm(plan, jnp.asarray(x), stream="bf16",
+                                 interpret=True))
+    scale = np.abs(y32).max() + 1e-6
+    assert np.max(np.abs(y16 - y32)) / scale < 2e-2
+
+
+def test_stream_cbsr_spgemm_path(graph, rng):
+    """The explicit CBSR API (aggregate_cbsr) through a stream-planned graph."""
+    from spgemm_gnn_tpu.kernels.api import aggregate_cbsr
+    from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
+    pg = plan_graph(graph, kind="stream", tile_slots=256, dst_block=256)
+    x = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    vals, ch = maxk_cbsr(x, 4)
+    y_s = np.asarray(aggregate_cbsr(pg, vals, ch, DIM, "mean", "pallas"))
+    y_x = np.asarray(aggregate_cbsr(graph, vals, ch, DIM, "mean", "xla"))
+    np.testing.assert_allclose(y_s, y_x, rtol=1e-4, atol=1e-5)
+    # gradient through the CBSR custom_vjp pair
+    ct = jnp.asarray(
+        rng.standard_normal((graph.num_nodes, DIM)).astype(np.float32))
+    gp = np.asarray(jax.grad(lambda v: (aggregate_cbsr(
+        pg, v, ch, DIM, "mean", "pallas") * ct).sum())(vals))
+    gx = np.asarray(jax.grad(lambda v: (aggregate_cbsr(
+        graph, v, ch, DIM, "mean", "xla") * ct).sum())(vals))
+    np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
+
+
+def test_empty_rows_and_jit(rng):
+    """Graphs with isolated nodes (empty dst blocks) and jit compilation."""
+    g = random_graph(500, 600, seed=41)    # most nodes have few/no edges
+    pg = plan_graph(g, kind="stream", tile_slots=128, dst_block=128)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, DIM)).astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        return planned_aggregate(pg, x, "sum")
+
+    y = np.asarray(f(x))
+    np.testing.assert_allclose(y, np.asarray(spmm(g, x, "sum")),
+                               rtol=1e-4, atol=1e-5)
