@@ -114,7 +114,7 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     E = int(indptr[-1])
     n_src = num_src_nodes if num_src_nodes is not None else num_nodes
     if window is None:
-        window = auto_window(num_nodes, E, B, num_src_nodes=n_src)
+        window = min(auto_window(num_nodes, E, B, num_src_nodes=n_src), R)
     RW = window
     if RW < 8 or RW % 8:
         raise ValueError("window must be a positive multiple of 8")

@@ -70,3 +70,29 @@ def cbsr_to_dense(values: jax.Array, channels: jax.Array, dim: int) -> jax.Array
     out = jnp.zeros((n, dim), dtype=values.dtype)
     rows = jnp.arange(n)[:, None]
     return out.at[rows, channels].set(values)
+
+
+def pack_channels(channels: jax.Array) -> jax.Array:
+    """Pack 4 uint8 channel ids per int32 lane (hidden dim ≤ 256 — the same
+    bound that makes the reference's `sp_index` uint8, SURVEY.md §2.1 CBSR).
+
+    Used for the multi-chip CBSR exchange payload: the channel half of the
+    payload shrinks 4× (VERDICT r1 #8). Channels must be in [0, 256).
+    """
+    n, k = channels.shape
+    pad = (-k) % 4
+    if pad:
+        channels = jnp.pad(channels, ((0, 0), (0, pad)))
+    c = channels.astype(jnp.uint32).reshape(n, -1, 4)
+    packed = (c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+              | (c[..., 3] << 24))
+    return packed.astype(jnp.int32)
+
+
+def unpack_channels(packed: jax.Array, k: int) -> jax.Array:
+    """Inverse of pack_channels → int32 [n, k]."""
+    p = packed.astype(jnp.uint32)
+    parts = jnp.stack([p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF,
+                       (p >> 24) & 0xFF], axis=-1)
+    n = packed.shape[0]
+    return parts.reshape(n, -1)[:, :k].astype(jnp.int32)

@@ -1,26 +1,40 @@
-"""Multi-chip aggregation through the Pallas kernels: per-shard tile plans
-under shard_map.
+"""Multi-chip aggregation through the Pallas kernels with **boundary-halo
+exchange** — per-shard tile plans + minimal cross-shard feature traffic.
 
-Layout: the graph is partitioned by destination-node blocks over the 1-D mesh
-(as in parallel/sharded.py). Each device builds a TilePlan for its own
-in-edges — rows are its local destination block, columns index the *global*
-node space — and runs the windowed-SpMM Pallas kernel on the all-gathered
-feature matrix:
+Layout: the graph is partitioned by contiguous destination-node blocks over a
+1-D mesh. Each shard's in-edges split into:
 
-  forward:  y_local = Kernel(plan_d,  all_gather(x)ᵀ)              (per shard)
-  backward: dx      = psum_scatter(Kernel(plan_dᵀ, all_gather(g)ᵀ))
+- **local edges** (source owned by the shard): aggregated from the shard's own
+  feature block — no communication;
+- **halo edges** (source owned elsewhere): only the *boundary source set*
+  B(o→c) — the distinct rows of owner o referenced by consumer c — is
+  exchanged, in D-1 `ppermute` rounds (round s: every owner sends to the
+  consumer s hops away). This replaces round 1's full-matrix all_gather
+  (O(N·dim) per layer regardless of partition quality — VERDICT r1 #4) with
+  O(boundary) traffic, and the halo kernel runs on a compact
+  [(D-1)·M] source space instead of the global N.
 
-The backward per-shard plan spans the global row space (each shard produces a
-partial dense cotangent from its own edges); the reduce-scatter both sums the
-partials and re-shards the result — the transpose of the forward's all-gather.
+Overlap: the local-edge kernel depends only on the local block while the
+ppermute rounds are in flight — they are structurally independent, so XLA's
+async collectives can overlap the exchange with local aggregation.
 
-Per-shard plans have different tile counts; they are padded to the common
-maximum with no-op tiles that repeat the last tile's destination block (so the
-kernel's first-visit zeroing cannot re-trigger) and carry only padding slots.
+Backward is pure autodiff: the per-shard kernels are `custom_vjp` pairs over
+(fwd, transpose) plans (kernels/planned.py::planned_pair_apply), `ppermute`
+transposes to the inverse permutation, and the boundary gather transposes to a
+boundary-sized scatter-add — so the cotangent exchange is also
+boundary-compressed (round 1 exchanged a dense [N, dim] cotangent).
+
+With MaxK-sparse features (k set), the payload is CBSR-compressed: k float32
+values + k uint8 channel ids packed 4-per-int32 lane (ops/maxk.py
+pack_channels) — (4k + k) bytes per boundary row instead of 4·dim
+(`/root/reference/README_INTEGRATED.md:137-141` CBSR layout; SURVEY.md §7.3).
+
+Per-shard plans reuse the single-chip machinery and kinds: windowed TilePlans
+when the compact source space keeps chunks full, StreamPlans in the low-degree
+regime (graphs/stream_tiles.py); all shards share one kind + geometry per role
+so plans stack along a sharded leading axis.
 """
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
@@ -30,32 +44,42 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spgemm_gnn_tpu.graphs.csr import Graph
-from spgemm_gnn_tpu.graphs.tiles import TilePlan, build_tile_plan
-from spgemm_gnn_tpu.kernels.spgemm_pallas import planned_spmm
-from spgemm_gnn_tpu.ops.norms import node_factors
+from spgemm_gnn_tpu.graphs.stream_tiles import (
+    StreamPlan, auto_stream_window, build_stream_plan,
+    predicted_windowed_fill)
+from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, build_tile_plan
+from spgemm_gnn_tpu.kernels.planned import (
+    WINDOWED_FILL_CUTOVER, planned_pair_apply)
 
+MIN_HALO = 8    # floor on the per-pair boundary padding (kernel alignment)
+
+
+# ---------------------------------------------------------------------------
+# stacked per-shard plans (one entry per device, sharded on the leading axis)
+# ---------------------------------------------------------------------------
 
 @struct.dataclass
-class ShardedPlan:
-    """Per-shard tile plans, stacked on a leading device axis and sharded."""
-    ws_dst_block: jax.Array   # i32[D, W]
-    ws_src_block: jax.Array   # i32[D, W]
-    e_src_local: jax.Array    # i16[D, W, S]
-    e_dst_local: jax.Array    # i16[D, W, S]
-    num_tiles: int = struct.field(pytree_node=False)        # padded W
+class StackedWindowed:
+    ws_dst: jax.Array     # i32[D, W]
+    ws_src: jax.Array     # i32[D, W]
+    e_src: jax.Array      # i16[D, W, S]
+    e_dst: jax.Array      # i16[D, W, S]
+    num_tiles: int = struct.field(pytree_node=False)
     tile_slots: int = struct.field(pytree_node=False)
     src_block: int = struct.field(pytree_node=False)
     dst_block: int = struct.field(pytree_node=False)
     window: int = struct.field(pytree_node=False)
-    n_dst_blocks: int = struct.field(pytree_node=False)     # per shard
-    n_src_blocks: int = struct.field(pytree_node=False)     # global
+    n_dst_blocks: int = struct.field(pytree_node=False)
+    n_src_blocks: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
 
-    def local_plan(self, wsd, wss, esrc, edst) -> TilePlan:
-        """Rebuild a TilePlan from shard_map-local array blocks."""
+    def arrays(self):
+        return (self.ws_dst, self.ws_src, self.e_src, self.e_dst)
+
+    def local(self, a0, a1, a2, a3) -> TilePlan:
         return TilePlan(
-            ws_dst_block=wsd, ws_src_block=wss,
-            e_src_local=esrc, e_dst_local=edst,
+            ws_dst_block=a0[0], ws_src_block=a1[0],
+            e_src_local=a2[0], e_dst_local=a3[0],
             num_tiles=self.num_tiles, tile_slots=self.tile_slots,
             src_block=self.src_block, dst_block=self.dst_block,
             window=self.window, n_dst_blocks=self.n_dst_blocks,
@@ -63,15 +87,117 @@ class ShardedPlan:
 
 
 @struct.dataclass
+class StackedStream:
+    ws_local: jax.Array   # i32[D, G, Wg]
+    row0: jax.Array       # i32[D, G]
+    e_src: jax.Array      # i32[D, G, Wg, S]
+    e_dst: jax.Array      # i16[D, G, Wg, S]
+    num_groups: int = struct.field(pytree_node=False)
+    group_tiles: int = struct.field(pytree_node=False)
+    tile_slots: int = struct.field(pytree_node=False)
+    dst_block: int = struct.field(pytree_node=False)
+    group_blocks: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)
+    padded_dst: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    num_src_nodes: int = struct.field(pytree_node=False)
+
+    def arrays(self):
+        return (self.ws_local, self.row0, self.e_src, self.e_dst)
+
+    def local(self, a0, a1, a2, a3) -> StreamPlan:
+        return StreamPlan(
+            ws_local=a0[0], row0=a1[0], e_src=a2[0], e_dst=a3[0],
+            num_groups=self.num_groups, group_tiles=self.group_tiles,
+            tile_slots=self.tile_slots, dst_block=self.dst_block,
+            group_blocks=self.group_blocks, window=self.window,
+            padded_dst=self.padded_dst, num_edges=self.num_edges,
+            num_src_nodes=self.num_src_nodes)
+
+
+def _stack_windowed(plans: list[TilePlan], mesh, axis) -> StackedWindowed:
+    d = len(plans)
+    w_max = max(p.num_tiles for p in plans)
+    s = plans[0].tile_slots
+    wsd = np.zeros((d, w_max), np.int32)
+    wss = np.zeros((d, w_max), np.int32)
+    esrc = np.full((d, w_max, s), -1, np.int16)
+    edst = np.zeros((d, w_max, s), np.int16)
+    for i, p in enumerate(plans):
+        w = p.num_tiles
+        wsd[i, :w] = np.asarray(p.ws_dst_block)
+        wss[i, :w] = np.asarray(p.ws_src_block)
+        esrc[i, :w] = np.asarray(p.e_src_local)
+        edst[i, :w] = np.asarray(p.e_dst_local)
+        # no-op pad tiles repeat the last dst block (no first-visit re-zero)
+        wsd[i, w:] = wsd[i, w - 1] if w else 0
+    sh = NamedSharding(mesh, P(axis))
+    p0 = plans[0]
+    return StackedWindowed(
+        ws_dst=jax.device_put(wsd, sh), ws_src=jax.device_put(wss, sh),
+        e_src=jax.device_put(esrc, sh), e_dst=jax.device_put(edst, sh),
+        num_tiles=w_max, tile_slots=s, src_block=p0.src_block,
+        dst_block=p0.dst_block, window=p0.window,
+        n_dst_blocks=max(p.n_dst_blocks for p in plans),
+        n_src_blocks=max(p.n_src_blocks for p in plans),
+        num_edges=sum(p.num_edges for p in plans))
+
+
+def _stack_stream(plans: list[StreamPlan], mesh, axis) -> StackedStream:
+    d = len(plans)
+    g_max = max(p.num_groups for p in plans)
+    wg_max = max(p.group_tiles for p in plans)
+    s = plans[0].tile_slots
+    gb = plans[0].group_blocks
+    wsl = np.zeros((d, g_max, wg_max), np.int32)
+    row0 = np.zeros((d, g_max), np.int32)
+    esrc = np.zeros((d, g_max, wg_max, s), np.int32)
+    edst = np.full((d, g_max, wg_max, s), -1, np.int16)
+    for i, p in enumerate(plans):
+        gg, wg = p.num_groups, p.group_tiles
+        wsl[i, :gg, :wg] = np.asarray(p.ws_local)
+        row0[i, :gg] = np.asarray(p.row0)
+        esrc[i, :gg, :wg] = np.asarray(p.e_src)
+        edst[i, :gg, :wg] = np.asarray(p.e_dst)
+        # tile padding within real groups: repeat the group's last block
+        if wg < wg_max:
+            wsl[i, :gg, wg:] = wsl[i, :gg, wg - 1:wg]
+        # group padding: all-padding slots, but every block of the GB range
+        # visited (ws 0..GB-1) so the partial is fully zero-initialised
+        if gg < g_max:
+            row0[i, gg:] = row0[i, gg - 1] if gg else 0
+            wsl[i, gg:] = np.minimum(np.arange(wg_max), gb - 1)[None, :]
+    sh = NamedSharding(mesh, P(axis))
+    p0 = plans[0]
+    return StackedStream(
+        ws_local=jax.device_put(wsl, sh), row0=jax.device_put(row0, sh),
+        e_src=jax.device_put(esrc, sh), e_dst=jax.device_put(edst, sh),
+        num_groups=g_max, group_tiles=wg_max, tile_slots=s,
+        dst_block=p0.dst_block, group_blocks=gb, window=p0.window,
+        padded_dst=max(p.padded_dst for p in plans),
+        num_edges=sum(p.num_edges for p in plans),
+        num_src_nodes=p0.num_src_nodes)
+
+
+# ---------------------------------------------------------------------------
+# sharded graph container
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
 class ShardedPlannedGraph:
-    """Edge-partitioned graph + per-shard Pallas plans (fwd and bwd)."""
-    fwd: ShardedPlan
-    bwd: ShardedPlan
+    """Edge-partitioned graph + per-shard plan pairs + halo exchange spec."""
+    fwd_local: StackedWindowed | StackedStream
+    bwd_local: StackedWindowed | StackedStream
+    fwd_halo: StackedWindowed | StackedStream | None
+    bwd_halo: StackedWindowed | StackedStream | None
+    send_idx: jax.Array       # i32[D, D-1, M] owner-local rows per round
     in_degrees: jax.Array     # i32[N_pad] sharded by node
     out_degrees: jax.Array
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
     nodes_per_shard: int = struct.field(pytree_node=False)
+    halo_size: int = struct.field(pytree_node=False)    # M (per ordered pair)
+    boundary_rows: int = struct.field(pytree_node=False)  # Σ real |B(o→c)|
     mesh: Mesh = struct.field(pytree_node=False)
     axis: str = struct.field(pytree_node=False, default="graph")
 
@@ -89,92 +215,149 @@ class ShardedPlannedGraph:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+    def comm_stats(self, dim: int, k: int | None = None) -> dict:
+        """Per-layer exchange volume vs the round-1 full all_gather."""
+        d = self.num_shards
+        pairs = d * (d - 1)
+        row_bytes = 4 * dim if k is None else 4 * k + (-(-k // 4)) * 4
+        halo_bytes = pairs * self.halo_size * row_bytes
+        full_bytes = d * self.padded_nodes * (4 * dim if k is None
+                                              else 4 * k + 4 * k)
+        return {"halo_rows_padded": pairs * self.halo_size,
+                "boundary_rows": self.boundary_rows,
+                "exchange_bytes": halo_bytes,
+                "full_gather_bytes": full_bytes,
+                "ratio_vs_full_gather": halo_bytes / max(full_bytes, 1)}
 
-def _pad_stack(plans: list[TilePlan], mesh: Mesh, axis: str) -> ShardedPlan:
-    w_max = max(p.num_tiles for p in plans)
-    s = plans[0].tile_slots
-    wsd = np.zeros((len(plans), w_max), np.int32)
-    wss = np.zeros((len(plans), w_max), np.int32)
-    esrc = np.full((len(plans), w_max, s), -1, np.int16)
-    edst = np.zeros((len(plans), w_max, s), np.int16)
-    for d, p in enumerate(plans):
-        w = p.num_tiles
-        wsd[d, :w] = np.asarray(p.ws_dst_block)
-        wss[d, :w] = np.asarray(p.ws_src_block)
-        esrc[d, :w] = np.asarray(p.e_src_local)
-        edst[d, :w] = np.asarray(p.e_dst_local)
-        # no-op padding tiles: repeat the last dst block so first-visit
-        # zeroing never re-triggers; slots are all -1 (padding)
-        wsd[d, w:] = wsd[d, w - 1] if w else 0
-    sh = NamedSharding(mesh, P(axis))
-    p0 = plans[0]
-    return ShardedPlan(
-        ws_dst_block=jax.device_put(wsd, sh),
-        ws_src_block=jax.device_put(wss, sh),
-        e_src_local=jax.device_put(esrc, sh),
-        e_dst_local=jax.device_put(edst, sh),
-        num_tiles=w_max, tile_slots=s, src_block=p0.src_block,
-        dst_block=p0.dst_block, window=p0.window,
-        n_dst_blocks=p0.n_dst_blocks, n_src_blocks=p0.n_src_blocks,
-        num_edges=sum(p.num_edges for p in plans),
-    )
+
+# ---------------------------------------------------------------------------
+# host-side build
+# ---------------------------------------------------------------------------
+
+def _choose_kind(rows: int, avg_edges: float, src_block: int, num_src: int,
+                 window: int | None) -> str:
+    rw = window or auto_window(rows, int(avg_edges), src_block,
+                               num_src_nodes=num_src)
+    est = predicted_windowed_fill(rows, int(avg_edges), src_block, num_src, rw)
+    return "windowed" if est >= WINDOWED_FILL_CUTOVER else "stream"
+
+
+def _csr_from_pairs(dst, src, num_rows):
+    """CSR (indptr, indices) over rows=dst from unsorted (dst, src) pairs."""
+    order = np.lexsort((src, dst))
+    dst_o, src_o = dst[order], src[order]
+    ptr = np.zeros(num_rows + 1, np.int64)
+    np.add.at(ptr, dst_o + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    return ptr, src_o.astype(np.int32)
+
+
+def _build_role(csrs: list[tuple[np.ndarray, np.ndarray]], rows: int,
+                num_src: int, mesh, axis, *, tile_slots: int, src_block: int,
+                dst_block: int, window: int | None):
+    """Build one plan per shard for a role and stack them (shared geometry)."""
+    total_e = sum(int(p[-1]) for p, _ in csrs)
+    avg_e = total_e / max(len(csrs), 1)
+    kind = _choose_kind(rows, avg_e, src_block, num_src, window)
+    if kind == "windowed":
+        rw = window or min(auto_window(rows, int(avg_e), src_block,
+                                       num_src_nodes=num_src), dst_block)
+        plans = [build_tile_plan(p, i, rows, tile_slots=tile_slots,
+                                 src_block=src_block, dst_block=dst_block,
+                                 window=rw, num_src_nodes=num_src)
+                 for p, i in csrs]
+        return _stack_windowed(plans, mesh, axis)
+    rw = auto_stream_window(rows, int(avg_e), dst_block)
+    # common group-range size so partials stack (see build_stream_plan)
+    deg = avg_e / max(rows, 1)
+    gb = max(1, min(int(round(256 * tile_slots / max(dst_block * deg, 1.0))),
+                    max(65536 // dst_block, 1), max(-(-rows // dst_block), 1)))
+    plans = [build_stream_plan(p, i, rows, tile_slots=tile_slots,
+                               dst_block=dst_block, window=rw,
+                               group_blocks=gb, num_src_nodes=num_src)
+             for p, i in csrs]
+    return _stack_stream(plans, mesh, axis)
 
 
 def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
                         tile_slots: int = 1024, src_block: int = 256,
                         dst_block: int = 2048,
                         window: int | None = None) -> ShardedPlannedGraph:
-    """Partition the graph by destination blocks and build per-shard plans."""
+    """Partition by destination blocks, split local/halo edges, compute the
+    boundary sets, and build per-shard plan pairs for both edge classes."""
     d = mesh.shape[axis]
     nps = -(-g.num_nodes // d)
     nps = -(-nps // dst_block) * dst_block      # align shard size to R
     n_pad = nps * d
 
     indptr = np.asarray(g.indptr, np.int64)
-    indices = np.asarray(g.indices)
+    indices = np.asarray(g.indices, np.int64)
 
-    if window is None:
-        from spgemm_gnn_tpu.graphs.tiles import auto_window
-        window = auto_window(g.num_nodes, g.num_edges, src_block,
-                             num_src_nodes=n_pad)
-
-    fwd_plans, bwd_plans = [], []
-    for i in range(d):
-        lo, hi = i * nps, min((i + 1) * nps, g.num_nodes)
+    # per-shard edge splits + boundary sets
+    loc_pairs, halo_raw = [], []    # halo_raw: (dst_local, src_global)
+    bnd: dict[tuple[int, int], np.ndarray] = {}   # (owner, consumer) → srcs
+    for c in range(d):
+        lo, hi = c * nps, min((c + 1) * nps, g.num_nodes)
         if lo >= g.num_nodes:
-            loc_ptr = np.zeros(nps + 1, np.int64)
-            loc_idx = np.zeros(0, np.int32)
-        else:
-            loc_ptr = indptr[lo:hi + 1] - indptr[lo]
-            if hi - lo < nps:
-                loc_ptr = np.concatenate(
-                    [loc_ptr, np.full(nps - (hi - lo), loc_ptr[-1])])
-            loc_idx = indices[indptr[lo]:indptr[hi]]
-        fwd_plans.append(build_tile_plan(
-            loc_ptr, loc_idx, nps, tile_slots=tile_slots,
-            src_block=src_block, dst_block=dst_block, window=window,
-            num_src_nodes=n_pad))
+            loc_pairs.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+            halo_raw.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+            continue
+        e0, e1 = indptr[lo], indptr[hi]
+        src = indices[e0:e1]
+        dst = np.repeat(np.arange(lo, hi, dtype=np.int64),
+                        np.diff(indptr[lo:hi + 1]))
+        local = (src >= lo) & (src < lo + nps)
+        loc_pairs.append((dst[local] - lo, src[local] - lo))
+        r_dst, r_src = dst[~local] - lo, src[~local]
+        halo_raw.append((r_dst, r_src))
+        owners = r_src // nps
+        for o in np.unique(owners):
+            bnd[(int(o), c)] = np.unique(r_src[owners == o])
 
-        # backward: this shard's edges transposed — rows = global source u,
-        # columns = destination v (local to this shard, but offset to global
-        # ids so every shard gathers from the same global g layout)
-        if lo >= g.num_nodes:
-            t_ptr = np.zeros(n_pad + 1, np.int64)
-            t_idx = np.zeros(0, np.int32)
-        else:
-            # build CSR over global rows from this shard's edge list
-            e_src = indices[indptr[lo]:indptr[hi]].astype(np.int64)
-            e_dst = (np.repeat(np.arange(lo, hi, dtype=np.int64),
-                               np.diff(indptr[lo:hi + 1])))
-            order = np.argsort(e_src * n_pad + e_dst, kind="stable")
-            t_ptr = np.zeros(n_pad + 1, np.int64)
-            np.add.at(t_ptr, e_src + 1, 1)
-            np.cumsum(t_ptr, out=t_ptr)
-            t_idx = e_dst[order].astype(np.int32)
-        bwd_plans.append(build_tile_plan(
-            t_ptr, t_idx, n_pad, tile_slots=tile_slots,
-            src_block=src_block, dst_block=dst_block, window=window,
-            num_src_nodes=n_pad))
+    m = max([len(v) for v in bnd.values()] + [0])
+    m = max(-(-m // MIN_HALO) * MIN_HALO, MIN_HALO)
+    boundary_rows = sum(len(v) for v in bnd.values())
+
+    # send schedule: owner o sends B(o→c) at round s = (c-o) mod d
+    send_idx = np.zeros((d, max(d - 1, 1), m), np.int32)
+    for (o, c), srcs in bnd.items():
+        s = (c - o) % d
+        send_idx[o, s - 1, :len(srcs)] = srcs - o * nps
+
+    # remap halo edge sources into the compact receive space:
+    # rows from owner o land at (s-1)·M + rank within B(o→c)
+    halo_pairs = []
+    for c in range(d):
+        r_dst, r_src = halo_raw[c]
+        compact = np.zeros_like(r_src)
+        owners = r_src // nps
+        for o in np.unique(owners):
+            mask = owners == o
+            s = (c - int(o)) % d
+            base = (s - 1) * m
+            compact[mask] = base + np.searchsorted(bnd[(int(o), c)],
+                                                   r_src[mask])
+        halo_pairs.append((r_dst, compact))
+
+    halo_src_space = (d - 1) * m if d > 1 else m
+    kw = dict(tile_slots=tile_slots, src_block=src_block,
+              dst_block=dst_block, window=window)
+
+    fwd_local = _build_role(
+        [_csr_from_pairs(dl, sl, nps) for dl, sl in loc_pairs],
+        nps, nps, mesh, axis, **kw)
+    bwd_local = _build_role(
+        [_csr_from_pairs(sl, dl, nps) for dl, sl in loc_pairs],
+        nps, nps, mesh, axis, **kw)
+    has_halo = d > 1 and any(len(p[0]) for p in halo_pairs)
+    fwd_halo = bwd_halo = None
+    if has_halo:
+        fwd_halo = _build_role(
+            [_csr_from_pairs(dl, sc, nps) for dl, sc in halo_pairs],
+            nps, halo_src_space, mesh, axis, **kw)
+        bwd_halo = _build_role(
+            [_csr_from_pairs(sc, dl, halo_src_space) for dl, sc in halo_pairs],
+            halo_src_space, nps, mesh, axis, **kw)
 
     in_deg = np.zeros(n_pad, np.int32)
     in_deg[:g.num_nodes] = np.asarray(g.in_degrees)
@@ -182,131 +365,87 @@ def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
     out_deg[:g.num_nodes] = np.asarray(g.out_degrees)
     node_sh = NamedSharding(mesh, P(axis))
     return ShardedPlannedGraph(
-        fwd=_pad_stack(fwd_plans, mesh, axis),
-        bwd=_pad_stack(bwd_plans, mesh, axis),
+        fwd_local=fwd_local, bwd_local=bwd_local,
+        fwd_halo=fwd_halo, bwd_halo=bwd_halo,
+        send_idx=jax.device_put(send_idx, node_sh),
         in_degrees=jax.device_put(in_deg, node_sh),
         out_degrees=jax.device_put(out_deg, node_sh),
         num_nodes=g.num_nodes, num_edges=g.num_edges,
-        nodes_per_shard=nps, mesh=mesh, axis=axis,
-    )
+        nodes_per_shard=nps, halo_size=m, boundary_rows=boundary_rows,
+        mesh=mesh, axis=axis)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+# ---------------------------------------------------------------------------
+# device-side aggregation
+# ---------------------------------------------------------------------------
 
-
-def _run_shard_kernel(sp: ShardedPlan, x_blk, wsd, wss, esrc, edst, axis,
-                      out_rows: int):
-    """all_gather features, run the local plan kernel, return [out_rows, dim]."""
-    x_full = jax.lax.all_gather(x_blk, axis, tiled=True)    # [N_pad, dim]
-    xt = x_full.T                                            # [dim, N_pad]
-    pad = sp.n_src_blocks * sp.src_block - xt.shape[1]
-    if pad:
-        xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    plan = sp.local_plan(wsd[0], wss[0], esrc[0], edst[0])
-    from spgemm_gnn_tpu.kernels import planned as _planned
-    y = planned_spmm(plan, xt, stream=_planned.DEFAULT_STREAM,
-                     interpret=_interpret())
-    return y[:out_rows]
-
-
-def _run_shard_kernel_cbsr(sp: ShardedPlan, vals_blk, ch_blk, dim, wsd, wss,
-                           esrc, edst, axis, out_rows: int):
-    """CBSR-compressed exchange: all_gather k values + k channel ids per node
-    (k ≪ dim — the distributed payoff of the CBSR layout, SURVEY.md §7.3),
-    densify on-device with the Pallas densify kernel, then run the plan
-    kernel."""
-    from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_transpose
-    vals_full = jax.lax.all_gather(vals_blk, axis, tiled=True)  # [N_pad, k]
-    ch_full = jax.lax.all_gather(ch_blk, axis, tiled=True)      # [N_pad, k]
-    n_cols = sp.n_src_blocks * sp.src_block
-    xt = densify_transpose(vals_full, ch_full, dim, n_cols,
-                           interpret=_interpret())               # [dim, cols]
-    plan = sp.local_plan(wsd[0], wss[0], esrc[0], edst[0])
-    from spgemm_gnn_tpu.kernels import planned as _planned
-    y = planned_spmm(plan, xt, stream=_planned.DEFAULT_STREAM,
-                     interpret=_interpret())
-    return y[:out_rows]
-
-
-def _scale(x, f):
-    return x if f is None else x * f[:, None].astype(x.dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _sharded_planned(x, src_f, dst_f, spg, k):
-    return _sharded_planned_fwd(x, src_f, dst_f, spg, k)[0]
-
-
-def _sharded_planned_fwd(x, src_f, dst_f, spg, k):
-    axis = spg.axis
-    sp = spg.fwd
-    xs = _scale(x, src_f)
-    dim = x.shape[-1]
-
-    if k is not None and k < dim:
-        # compress BEFORE the collective: k values + k channels per node
-        from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
-        vals, ch = cbsr_from_masked(xs, k)
-
-        def body(v_blk, c_blk, wsd, wss, esrc, edst):
-            return _run_shard_kernel_cbsr(sp, v_blk, c_blk, dim, wsd, wss,
-                                          esrc, edst, axis,
-                                          spg.nodes_per_shard)
-
-        y = shard_map(
-            body, mesh=spg.mesh,
-            in_specs=(P(axis),) * 6,
-            out_specs=P(axis), check_vma=False,
-        )(vals, ch, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local,
-          sp.e_dst_local)
-    else:
-        def body(x_blk, wsd, wss, esrc, edst):
-            return _run_shard_kernel(sp, x_blk, wsd, wss, esrc, edst, axis,
-                                     spg.nodes_per_shard)
-
-        y = shard_map(
-            body, mesh=spg.mesh,
-            in_specs=(P(axis),) * 5,
-            out_specs=P(axis), check_vma=False,  # pallas outputs carry no vma
-        )(xs, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local,
-          sp.e_dst_local)
-    return _scale(y, dst_f), (src_f, dst_f, spg)
-
-
-def _sharded_planned_bwd(k, res, g):
-    src_f, dst_f, spg = res
-    axis = spg.axis
-    sp = spg.bwd
-    gs = _scale(g, dst_f)
-
-    def body(g_blk, wsd, wss, esrc, edst):
-        # partial dense cotangent over the GLOBAL row space from local edges
-        z = _run_shard_kernel(sp, g_blk, wsd, wss, esrc, edst, axis,
-                              spg.padded_nodes)
-        # sum partials over shards and re-shard by node (transpose of the
-        # forward all_gather)
-        return jax.lax.psum_scatter(z, axis, scatter_dimension=0, tiled=True)
-
-    dx = shard_map(
-        body, mesh=spg.mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis), check_vma=False,   # pallas_call outputs carry no vma
-    )(gs, sp.ws_dst_block, sp.ws_src_block, sp.e_src_local, sp.e_dst_local)
-    return (_scale(dx, src_f), None, None, None)
-
-
-_sharded_planned.defvjp(_sharded_planned_fwd, _sharded_planned_bwd)
+def _ones_like_deg(deg):
+    return jnp.ones(deg.shape, jnp.float32)
 
 
 def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
                               norm: str = "sum",
                               k: int | None = None) -> jax.Array:
-    """y = A_w · x across the mesh through the per-shard Pallas kernels.
+    """y = A_w · x across the mesh: local kernel + boundary-halo exchange.
 
-    With k set (MaxK-sparse x), the collective exchanges the CBSR payload —
-    k values + k channel ids per node instead of dim — the distributed payoff
-    of the compressed layout (forward only; the backward cotangent is dense).
+    With k set (MaxK-sparse x), the exchange payload is CBSR-compressed
+    (k values + packed uint8 channels per boundary row). Fully differentiable
+    by construction — the backward exchange is the transposed ppermute of the
+    boundary-sized halo cotangent (see module docstring).
     """
+    from spgemm_gnn_tpu.ops.norms import node_factors
     src_f, dst_f = node_factors(spg, norm)
-    return _sharded_planned(x, src_f, dst_f, spg, k)
+    if src_f is None:
+        src_f = _ones_like_deg(spg.in_degrees)
+    if dst_f is None:
+        dst_f = _ones_like_deg(spg.in_degrees)
+
+    axis = spg.axis
+    d = spg.num_shards
+    nps = spg.nodes_per_shard
+    fl, bl = spg.fwd_local, spg.bwd_local
+    fh, bh = spg.fwd_halo, spg.bwd_halo
+    dim = x.shape[-1]
+    compress = k is not None and k < dim
+
+    def body(x_blk, sf_blk, df_blk, send_blk, fl_a, bl_a, fh_a, bh_a):
+        xs = x_blk * sf_blk[:, None].astype(x_blk.dtype)
+        y = planned_pair_apply(xs, (fl.local(*fl_a), bl.local(*bl_a)), nps)
+        if fh is not None:
+            perm = lambda s: [(i, (i + s) % d) for i in range(d)]
+            if compress:
+                from spgemm_gnn_tpu.ops.maxk import (
+                    cbsr_from_masked, cbsr_to_dense, pack_channels,
+                    unpack_channels)
+                vals, ch = cbsr_from_masked(xs, k)
+                pch = pack_channels(ch)
+                pv, pc = [], []
+                for s in range(1, d):
+                    idx = send_blk[0, s - 1]
+                    pv.append(jax.lax.ppermute(
+                        jnp.take(vals, idx, axis=0), axis, perm(s)))
+                    pc.append(jax.lax.ppermute(
+                        jnp.take(pch, idx, axis=0), axis, perm(s)))
+                halo = cbsr_to_dense(
+                    jnp.concatenate(pv, 0),
+                    unpack_channels(jnp.concatenate(pc, 0), k), dim)
+            else:
+                parts = []
+                for s in range(1, d):
+                    idx = send_blk[0, s - 1]
+                    parts.append(jax.lax.ppermute(
+                        jnp.take(xs, idx, axis=0), axis, perm(s)))
+                halo = jnp.concatenate(parts, 0)
+            y = y + planned_pair_apply(
+                halo, (fh.local(*fh_a), bh.local(*bh_a)), nps)
+        return y * df_blk[:, None].astype(y.dtype)
+
+    n_roles = [fl.arrays(), bl.arrays(),
+               fh.arrays() if fh is not None else (),
+               bh.arrays() if bh is not None else ()]
+    in_specs = (P(axis), P(axis), P(axis), P(axis)) + tuple(
+        tuple(P(axis) for _ in r) for r in n_roles)
+    return shard_map(
+        body, mesh=spg.mesh,
+        in_specs=in_specs, out_specs=P(axis), check_vma=False,
+    )(x, src_f, dst_f, spg.send_idx, *n_roles)

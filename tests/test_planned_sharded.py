@@ -124,3 +124,65 @@ def test_sharded_planned_directed():
         lambda xv: (sharded_planned_aggregate(spg, xv, "gcn") * ct).sum()))(xs))
     dx_ref = np.asarray(spmm_transpose(g, ct[:g.num_nodes], "gcn"))
     np.testing.assert_allclose(dx[:g.num_nodes], dx_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_exchange_volume_below_full_gather():
+    """The boundary-halo exchange must move less than the full-matrix
+    all_gather on an 8-shard power-law graph (VERDICT r1 #4 'Done' criterion),
+    and still match the single-device oracle."""
+    g = powerlaw_graph(800, 6000, seed=51)
+    mesh = make_mesh(8)
+    spg = shard_planned_graph(g, mesh, tile_slots=128, src_block=128,
+                              dst_block=128, window=8)
+    stats = spg.comm_stats(DIM)
+    assert stats["exchange_bytes"] < stats["full_gather_bytes"]
+    assert stats["ratio_vs_full_gather"] < 1.0
+    # CBSR payload is smaller still per boundary row: 4k+k vs 4·dim bytes
+    stats_k = spg.comm_stats(DIM, k=8)
+    assert stats_k["exchange_bytes"] < stats["exchange_bytes"]
+
+    rng = np.random.default_rng(6)
+    x_pad = np.zeros((spg.padded_nodes, DIM), np.float32)
+    x_pad[:g.num_nodes] = rng.standard_normal((g.num_nodes, DIM))
+    xs = jax.device_put(x_pad, spg.node_sharding())
+    y = np.asarray(jax.jit(
+        lambda xv, s: sharded_planned_aggregate(s, xv, "mean"))(xs, spg))
+    y_ref = np.asarray(spmm(g, jnp.asarray(x_pad[:g.num_nodes]), "mean"))
+    np.testing.assert_allclose(y[:g.num_nodes], y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_boundary_sets_are_minimal():
+    """send_idx only carries sources actually referenced across the shard
+    boundary: the padded per-pair halo is bounded by the true boundary set."""
+    g = powerlaw_graph(600, 5000, seed=52)
+    mesh = make_mesh(4)
+    spg = shard_planned_graph(g, mesh, tile_slots=128, src_block=128,
+                              dst_block=128, window=8)
+    d = spg.num_shards
+    nps = spg.nodes_per_shard
+    indptr = np.asarray(g.indptr)
+    indices = np.asarray(g.indices)
+    # true boundary rows per ordered (owner→consumer) pair
+    true_pairs = 0
+    for c in range(d):
+        lo, hi = c * nps, min((c + 1) * nps, g.num_nodes)
+        if lo >= g.num_nodes:
+            continue
+        src = indices[indptr[lo]:indptr[hi]]
+        remote = src[(src < lo) | (src >= lo + nps)]
+        for o in np.unique(remote // nps):
+            true_pairs += len(np.unique(remote[remote // nps == o]))
+    assert spg.boundary_rows == true_pairs
+    # padding overhead is bounded: M = max pair size rounded to MIN_HALO
+    from spgemm_gnn_tpu.parallel.planned_sharded import MIN_HALO
+    assert spg.halo_size % MIN_HALO == 0
+
+
+def test_channel_pack_roundtrip(rng):
+    from spgemm_gnn_tpu.ops.maxk import pack_channels, unpack_channels
+    for k in (3, 4, 8, 31, 32):
+        ch = jnp.asarray(rng.integers(0, 256, (23, k)).astype(np.int32))
+        p = pack_channels(ch)
+        assert p.shape == (23, -(-k // 4))
+        np.testing.assert_array_equal(np.asarray(unpack_channels(p, k)),
+                                      np.asarray(ch))
