@@ -77,21 +77,26 @@ class HostFeatureStore(FeatureStore):
         self._hits = 0
         self._misses = 0
 
-        # cache bookkeeping: node id -> slot in the device cache buffer
+        # cache bookkeeping: node id -> slot in the device cache buffer;
+        # hits are served FROM the device buffer (only cache misses cross the
+        # host→device boundary — the reference subsystem's purpose,
+        # maxk_gnn_dgl_new.py:97-135)
         self._slot_of: dict[int, int] = {}
         self._order: collections.OrderedDict[int, None] = collections.OrderedDict()
-        # NOTE: the cache is policy/accounting state (which rows WOULD be
-        # device-resident under each policy, with hit/miss stats — the
-        # reference cache classes' role); the device-side merge fast path is a
-        # future optimisation, so no device buffer is allocated eagerly.
+        self._cache_dev: jax.Array | None = None
+        self.bytes_from_host = 0
         if policy == "static-outd":
             if out_degrees is None:
                 raise ValueError("static-outd policy needs out_degrees")
             top = np.argsort(-np.asarray(out_degrees), kind="stable")
             top = top[: self.capacity]
             self._slot_of = {int(n): i for i, n in enumerate(top)}
+            if self.capacity > 0:
+                # one startup transfer of the pinned hot rows
+                self._cache_dev = jnp.asarray(self._host[top], self._dtype)
         elif policy in ("fifo", "lru") and self.capacity > 0:
-            self._cache_np = np.zeros((self.capacity, self.dim), np.float32)
+            self._cache_dev = jnp.zeros((self.capacity, self.dim),
+                                        self._dtype)
             self._free = list(range(self.capacity))
 
     # -- stats ---------------------------------------------------------------
@@ -99,11 +104,13 @@ class HostFeatureStore(FeatureStore):
     def stats(self) -> dict:
         total = self._hits + self._misses
         return {"hits": self._hits, "misses": self._misses,
-                "hit_rate": self._hits / total if total else 0.0}
+                "hit_rate": self._hits / total if total else 0.0,
+                "bytes_from_host": self.bytes_from_host}
 
     def reset_stats(self) -> None:
         self._hits = 0
         self._misses = 0
+        self.bytes_from_host = 0
 
     # -- fetch ---------------------------------------------------------------
     def full(self) -> jax.Array:
@@ -117,25 +124,34 @@ class HostFeatureStore(FeatureStore):
             return jnp.zeros((0, self.dim), self._dtype)
         if self.policy == "direct" or self.capacity == 0:
             self._misses += len(ids)
-            return jnp.asarray(self._host[ids], self._dtype)
+            rows = self._host[ids]
+            self.bytes_from_host += rows.nbytes
+            return jnp.asarray(rows, self._dtype)
 
-        in_cache = np.array([i in self._slot_of for i in ids.tolist()],
-                            dtype=bool)
-        self._hits += int(in_cache.sum())
-        self._misses += int((~in_cache).sum())
-        miss_ids = ids[~in_cache]
-
+        # hits served from the device-resident cache buffer; only misses
+        # gather from host memory and cross the host→device boundary
+        slots = np.array([self._slot_of.get(int(i), -1) for i in ids],
+                         dtype=np.int64)
+        hit = slots >= 0
+        self._hits += int(hit.sum())
+        self._misses += int((~hit).sum())
+        out = jnp.take(self._cache_dev, jnp.asarray(slots.clip(0)), axis=0)
+        if not hit.all():
+            miss_rows = self._host[ids[~hit]]
+            self.bytes_from_host += miss_rows.nbytes
+            out = out.at[jnp.asarray(np.flatnonzero(~hit))].set(
+                jnp.asarray(miss_rows, self._dtype))
         if self.policy in ("fifo", "lru"):
-            self._admit(miss_ids)
+            self._admit(ids[~hit])
             if self.policy == "lru":
                 for i in ids.tolist():
                     if i in self._order:
                         self._order.move_to_end(i)
-        # assemble on host (correct + simple; the device-merge fast path is a
-        # later optimisation — the accounting here is what the policies define)
-        return jnp.asarray(self._host[ids], self._dtype)
+        return out
 
     def _admit(self, miss_ids: Iterable[int]) -> None:
+        """Batch-admit missed rows: one host gather + one device buffer update."""
+        new_ids, new_slots = [], []
         for i in np.unique(np.asarray(list(miss_ids), np.int64)).tolist():
             if i in self._slot_of:
                 continue
@@ -146,7 +162,13 @@ class HostFeatureStore(FeatureStore):
                 slot = self._slot_of.pop(old)
             self._slot_of[i] = slot
             self._order[i] = None
-            self._cache_np[slot] = self._host[i]
+            new_ids.append(i)
+            new_slots.append(slot)
+        if new_ids:
+            rows = self._host[new_ids]
+            self.bytes_from_host += rows.nbytes   # admission transfer is real
+            self._cache_dev = self._cache_dev.at[jnp.asarray(new_slots)].set(
+                jnp.asarray(rows, self._dtype))
 
 
 def make_feature_store(features, *, policy: str = "none",

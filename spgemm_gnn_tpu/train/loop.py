@@ -217,6 +217,19 @@ class Trainer:
 
     # -- driver --------------------------------------------------------------
 
+    def predict(self, state, node_ids) -> jax.Array:
+        """Minibatch inference for a node batch: L-hop subgraph + feature
+        fetch through the configured store (train/infer.py). Cache-policy
+        stores serve hot rows from the device buffer."""
+        from spgemm_gnn_tpu.graphs.features import DeviceFeatureStore
+        from spgemm_gnn_tpu.train.infer import predict_nodes
+        store = getattr(self, "feature_store", None)
+        if store is None:
+            store = DeviceFeatureStore(self.features)
+        g = self.dataset.graph
+        return predict_nodes(self.model, state["params"], g, store, node_ids,
+                             hops=self.config.hidden_layers)
+
     def evaluate_checkpoint(self, path: str) -> tuple[float, float, float]:
         """Eval-only mode (the reference's unused `--evaluate PATH` flag,
         utils/config.py:55-56 — here it works)."""

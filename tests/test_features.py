@@ -71,3 +71,45 @@ def test_factory(feats, rng):
     assert isinstance(s, HostFeatureStore)
     with pytest.raises(ValueError):
         HostFeatureStore(feats, policy="bogus")
+
+
+def test_cache_actually_serves_bytes(feats, rng):
+    """VERDICT r1 #6 'Done' criterion: host-gather bytes drop under
+    static-outd on a skewed access pattern, and served values stay correct."""
+    from spgemm_gnn_tpu.graphs.features import HostFeatureStore
+    n, dim = feats.shape
+    out_deg = np.arange(n)[::-1].copy()     # node 0 has the highest degree
+    hot = np.arange(n // 10)                # = the top out-degree nodes
+    rng_l = np.random.default_rng(9)
+    # skewed pattern: 90% of accesses hit the hot set
+    pattern = [np.where(rng_l.random(64) < 0.9,
+                        rng_l.choice(hot, 64),
+                        rng_l.integers(0, n, 64)) for _ in range(16)]
+
+    cached = HostFeatureStore(feats, policy="static-outd", cache_ratio=0.1,
+                              out_degrees=out_deg)
+    direct = HostFeatureStore(feats, policy="direct")
+    for ids in pattern:
+        got = np.asarray(cached.fetch(ids))
+        np.testing.assert_allclose(got, feats[ids], rtol=1e-6)
+        direct.fetch(ids)
+    assert cached.stats["hit_rate"] > 0.5
+    assert cached.stats["bytes_from_host"] < direct.stats["bytes_from_host"]
+    # hits must be served from the device buffer: transferred bytes account
+    # exactly for the misses
+    miss_bytes = cached.stats["misses"] * dim * 4
+    assert cached.stats["bytes_from_host"] == miss_bytes
+
+
+def test_lru_cache_serves_after_admission(feats):
+    """A row fetched twice under LRU is transferred once (admit), then served
+    from the device buffer."""
+    from spgemm_gnn_tpu.graphs.features import HostFeatureStore
+    st = HostFeatureStore(feats, policy="lru", cache_ratio=0.5)
+    ids = np.array([1, 2, 3])
+    st.fetch(ids)
+    b0 = st.stats["bytes_from_host"]
+    got = np.asarray(st.fetch(ids))
+    np.testing.assert_allclose(got, feats[ids], rtol=1e-6)
+    assert st.stats["bytes_from_host"] == b0   # pure cache hits: no transfer
+    assert st.stats["hits"] >= 3
