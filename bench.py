@@ -1,18 +1,27 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Measures the MaxK CBSR aggregation pair (Pallas SpGEMM forward + SSpMM
 backward) on a Reddit-shaped synthetic power-law graph at k=32, dim=256, and
-reports throughput in edges/s. `vs_baseline` is the speedup over the XLA
-gather/segment-sum baseline on the same device — the cuSPARSE-role comparison
-the reference uses for its headline numbers (README.md:136).
+reports throughput in edges/s plus the effective message bandwidth against the
+measured v5e rooflines (docs/DESIGN.md §Roofline). `vs_baseline` is the
+speedup over the XLA gather/segment-sum baseline on the same device — the
+cuSPARSE-role comparison the reference uses for its headline numbers
+(README.md:136).
 
 Usage: python bench.py [--scale small|medium|full] [--cpu] [--iters N]
+       [--stream f32|bf16x2] [--validate]
 Progress goes to stderr; the single JSON line is the only stdout output.
+
+Watchdog: each phase (device claim / input build / pallas / baseline) has its
+own budget; on a stall the most recent successful measurement is emitted with
+an explicit `"stale": true` marker (never silently).
 """
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
@@ -32,7 +41,14 @@ SCALES = {
     "medium": (29_121, 14_325_000),
     "large": (58_241, 28_650_000),    # quarter-Reddit nodes, full degree
     "full": (232_965, 114_000_000),   # Reddit-scale
+    # products-regime density: the stream-kernel path (avg degree ~25)
+    "sparse": (200_000, 5_000_000),
 }
+
+# measured v5e rooflines (docs/DESIGN.md): streaming elementwise HBM BW and
+# the dynamic-gather BW the message stage is bound by
+ROOFLINE_ELEMENTWISE_GBPS = 199.0
+ROOFLINE_GATHER_GBPS = 116.0
 
 
 def main():
@@ -46,6 +62,9 @@ def main():
     ap.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"],
                     help="Pallas feature-stream precision (bf16x2 default — "
                          "the reference's own matmuls run TF32)")
+    ap.add_argument("--validate", action="store_true",
+                    help="on-device numerics check (pallas vs XLA oracle, "
+                         "bf16x2 vs f32) written to .bench_cache/validate_*")
     args = ap.parse_args()
 
     if args.cpu:
@@ -53,42 +72,62 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.scale = "micro"   # interpret-mode pallas: smoke only
 
-    # watchdog: the TPU claim/transfer can stall indefinitely if a previous
-    # client died mid-operation (the tunnel wedges for tens of minutes). On
-    # timeout, emit the most recent successful measurement of this metric if
-    # one exists (a genuine measurement of this code on this device, recorded
-    # by a prior run — clearly logged), else a zero sentinel.
-    import os
-    import signal
-
     metric = f"maxk_spgemm_aggregation_{args.scale}_k{args.k}"
-    result_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".bench_cache", f"{metric}.json")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    result_cache = os.path.join(cache_dir, f"{metric}.json")
+
+    res = {}
+    state = {"phase": "claim"}
+
+    def emit(result):
+        print(json.dumps(result), flush=True)
+
+    def rate(r):
+        return 2.0 / (1.0 / r["fwd_gedges"] + 1.0 / r["bwd_gedges"])
 
     def _bail(signum, frame):
-        if os.path.exists(result_cache):
+        log(f"watchdog: stalled in phase '{state['phase']}'")
+        if "pallas" in res:
+            # the headline number IS fresh — only the baseline is missing
+            out = {"metric": metric, "value": round(rate(res["pallas"]), 4),
+                   "unit": "Gedges/s", "vs_baseline": 0.0,
+                   "baseline_stale": True}
+            if os.path.exists(result_cache):
+                with open(result_cache) as f:
+                    prev = json.load(f)
+                if prev.get("value"):
+                    out["vs_baseline"] = round(
+                        out["value"] / prev["value"] * prev["vs_baseline"], 3)
+            emit(out)
+        elif os.path.exists(result_cache):
             with open(result_cache) as f:
                 cached = json.load(f)
             recorded = cached.pop("_recorded", "earlier")
-            # machine-distinguishable stale marker: consumers of the JSON line
-            # must be able to tell a cached fallback from a fresh measurement
+            # machine-distinguishable stale marker: consumers must be able to
+            # tell a cached fallback from a fresh measurement
             cached["stale"] = True
             cached["recorded"] = recorded
-            log(f"watchdog: device stalled; emitting the last successful "
-                f"measurement from {result_cache} (recorded {recorded})")
-            print(json.dumps(cached), flush=True)
+            log(f"watchdog: emitting last successful measurement from "
+                f"{result_cache} (recorded {recorded})")
+            emit(cached)
         else:
-            print(json.dumps({"metric": metric, "value": 0.0,
-                              "unit": "Gedges/s", "vs_baseline": 0.0}),
-                  flush=True)
-            log("watchdog: device stalled and no cached measurement exists")
+            emit({"metric": metric, "value": 0.0, "unit": "Gedges/s",
+                  "vs_baseline": 0.0})
+            log("watchdog: no cached measurement exists")
         sys.exit(2)
 
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(480)
 
+    def phase(name, budget):
+        state["phase"] = name
+        signal.alarm(budget)
+        log(f"phase: {name} (budget {budget}s)")
+
+    phase("claim", 300)    # device claim can take minutes after unclean exits
     import jax
-    log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    log(f"devices: {jax.devices()} ({time.perf_counter()-t0:.0f}s)")
     n, e = SCALES[args.scale]
 
     from spgemm_gnn_tpu.bench import harness
@@ -96,14 +135,24 @@ def main():
     planned.DEFAULT_STREAM = args.stream
     log(f"pallas feature stream: {args.stream}")
 
+    phase("inputs", 300)   # graph/plan build is disk-cached; transfer rides
     t0 = time.perf_counter()
     g, pg, xk, ct = harness._bench_inputs(n, e, args.dim, args.k, 0, None)
-    log(f"graph N={g.num_nodes} E={g.num_edges} "
+    kind = type(pg.fwd_plan).__name__
+    log(f"graph N={g.num_nodes} E={g.num_edges} plan={kind} "
         f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window} "
         f"({time.perf_counter()-t0:.0f}s)")
 
-    signal.alarm(0)   # startup survived; phases have their own guards
-    res = {}
+    if args.validate:
+        phase("validate", 240)
+        val = harness.validate_numerics(g, pg, xk, ct, args.dim, args.k)
+        vpath = os.path.join(cache_dir, f"validate_{metric}.json")
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(vpath, "w") as f:
+            json.dump(val, f, indent=1)
+        log(f"validate: {val} -> {vpath}")
+
+    phase("pallas", 200)
     try:  # pallas first: its number must survive a baseline failure
         res["pallas"] = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
                                            "mean", "pallas", args.iters)
@@ -111,6 +160,7 @@ def main():
     except Exception as exc:
         log(f"pallas bench failed ({type(exc).__name__}: {exc})")
 
+    phase("xla", 200)
     try:
         if g.num_edges > harness.XLA_BASELINE_EDGE_CAP:
             scale = harness.XLA_BASELINE_EDGE_CAP / e
@@ -128,10 +178,8 @@ def main():
     except Exception as exc:
         log(f"xla bench failed ({type(exc).__name__}: {exc})")
 
+    signal.alarm(0)
     log(f"bench done in {time.perf_counter()-t0:.1f}s")
-
-    def rate(r):
-        return 2.0 / (1.0 / r["fwd_gedges"] + 1.0 / r["bwd_gedges"])
 
     if "pallas" in res:
         eps = rate(res["pallas"])
@@ -141,16 +189,26 @@ def main():
     else:
         eps, vs = 0.0, 0.0
 
+    # effective message bandwidth vs the measured gather roofline: the kernel
+    # moves E·dim·bytes of messages through VMEM per pass (bf16x2 = 2 B/lane)
+    stream_bytes = 2 if args.stream == "bf16x2" else 4
+    msg_gbps = eps * 1e9 * args.dim * stream_bytes / 1e9
+    log(f"message bandwidth: {msg_gbps:.0f} GB/s "
+        f"(gather roofline {ROOFLINE_GATHER_GBPS:.0f} GB/s, elementwise "
+        f"{ROOFLINE_ELEMENTWISE_GBPS:.0f} GB/s)")
+
     result = {"metric": metric, "value": round(eps, 4), "unit": "Gedges/s",
-              "vs_baseline": round(vs, 3)}
+              "vs_baseline": round(vs, 3), "stream": args.stream,
+              "msg_gbps": round(msg_gbps, 1),
+              "roofline_gather_gbps": ROOFLINE_GATHER_GBPS}
     if eps > 0:
         try:   # remember for the stall-watchdog fallback of future runs
-            os.makedirs(os.path.dirname(result_cache), exist_ok=True)
+            os.makedirs(cache_dir, exist_ok=True)
             with open(result_cache, "w") as f:
                 json.dump({**result, "_recorded": time.strftime("%F %T")}, f)
         except OSError:
             pass
-    print(json.dumps(result), flush=True)
+    emit(result)
 
 
 if __name__ == "__main__":

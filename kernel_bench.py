@@ -17,19 +17,34 @@ import time
 import numpy as np
 
 # synthetic corpus approximating the reference's 24-graph suite regimes
-# (SURVEY.md §6: 4.3K–2.45M nodes, 99K–124M edges)
+# (SURVEY.md §6: 4.3K–2.45M nodes, 99K–124M edges; README.md:72-78): average
+# degree spans 5–492, sizes bounded so host→device transfer through the
+# tunnel stays benchable. deg ≲ 40 graphs exercise the stream-plan kernel,
+# denser ones the windowed kernel.
 SYNTH_CORPUS = {
-    "synth-small-dense": (10_000, 1_000_000),
-    "synth-mid-dense": (60_000, 6_000_000),
-    "synth-mid-sparse": (200_000, 2_000_000),
-    "synth-reddit-like": (232_965, 25_000_000),
+    "synth-tiny-dense": (4_300, 430_000),          # 24-graph low end, deg 100
+    "synth-deg5": (400_000, 2_000_000),
+    "synth-mid-sparse": (200_000, 2_000_000),      # deg 10
+    "synth-flickr-like": (89_250, 1_960_000),      # deg ~22 (flickr shape)
+    "synth-products-like": (60_000, 3_000_000),    # deg 50 (products density)
+    "synth-mid-dense": (60_000, 6_000_000),        # deg 100
+    "synth-deg200": (15_000, 3_000_000),
+    "synth-reddit-density": (8_000, 3_936_000),    # deg 492 (reddit density)
+    "synth-small-dense": (10_000, 1_000_000),      # legacy name, deg 100
+    "synth-reddit-like": (232_965, 25_000_000),    # legacy large run
 }
+
+# the default sweep: 8 regimes spanning avg degree 5 → 492
+CORPUS_SWEEP = ["synth-tiny-dense", "synth-deg5", "synth-mid-sparse",
+                "synth-flickr-like", "synth-products-like", "synth-mid-dense",
+                "synth-deg200", "synth-reddit-density"]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", nargs="*", default=["synth-mid-dense"],
-                    help=f"graph names: {list(SYNTH_CORPUS)} or dataset names")
+                    help=f"graph names: {list(SYNTH_CORPUS)}, 'sweep' (the "
+                         f"8-regime corpus), or dataset names")
     ap.add_argument("--k", nargs="*", type=int, default=[8, 16, 32, 64])
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--impls", nargs="*", default=["xla", "pallas"])
@@ -84,14 +99,20 @@ def main():
                   f"xla-topk {t_x*1e3:7.2f}ms  ({t_x/t_p:.2f}x)", flush=True)
         return
 
+    if args.graphs == ["sweep"]:
+        args.graphs = CORPUS_SWEEP
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
     for gname in args.graphs:
         if gname in SYNTH_CORPUS:
             n, e = SYNTH_CORPUS[gname]
-            g = powerlaw_graph(n, e // 2, seed=0)
+            from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
+            g = _cached_powerlaw(n, e // 2, 0)
         else:
             from spgemm_gnn_tpu.graphs.datasets import load_dataset
             g = load_dataset(gname, args.data_path).graph
-        pg = plan_graph(g)
+        pg = plan_graph(g, cache_dir=cache_dir)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
                                             dtype=np.float32))

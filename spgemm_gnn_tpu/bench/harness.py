@@ -112,6 +112,54 @@ def bench_impl(g, pg, xk, ct, dim: int, k: int, norm: str, impl: str,
             "bwd_gedges": g.num_edges / t_bwd / 1e9}
 
 
+def validate_numerics(g, pg, xk, ct, dim: int, k: int,
+                      norm: str = "mean") -> dict:
+    """On-device numerics record for the benchmarked config: Pallas (f32 and
+    bf16x2 streams) vs the XLA oracle, forward and gradient. Written per round
+    as the kernel-correctness artifact (bench.py --validate)."""
+    import time as _time
+    from spgemm_gnn_tpu.kernels import planned
+    from spgemm_gnn_tpu.kernels.api import aggregate
+
+    def fwd(impl, graph):
+        return jax.jit(lambda xv, gr: aggregate(gr, xv, norm=norm, k=k,
+                                                impl=impl))(xk, graph)
+
+    def bwd(impl, graph):
+        f = jax.jit(jax.grad(lambda xv, gr, cot: (
+            aggregate(gr, xv, norm=norm, k=k, impl=impl) * cot).sum()))
+        return f(xk, graph, ct)
+
+    def relerr(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(np.max(np.abs(a - b)) / (1e-6 + np.max(np.abs(b))))
+
+    old = planned.DEFAULT_STREAM
+    try:
+        y_x = fwd("xla", g)
+        g_x = bwd("xla", g)
+        planned.DEFAULT_STREAM = "f32"
+        y_p32 = fwd("pallas", pg)
+        g_p32 = bwd("pallas", pg)
+        planned.DEFAULT_STREAM = "bf16x2"
+        y_p16 = fwd("pallas", pg)
+    finally:
+        planned.DEFAULT_STREAM = old
+    out = {
+        "backend": jax.default_backend(),
+        "num_edges": g.num_edges, "dim": dim, "k": k,
+        "plan_kind": type(pg.fwd_plan).__name__,
+        "fwd_f32_relerr_vs_oracle": relerr(y_p32, y_x),
+        "bwd_f32_relerr_vs_oracle": relerr(g_p32, g_x),
+        "fwd_bf16x2_relerr_vs_f32": relerr(y_p16, y_p32),
+        "recorded": _time.strftime("%F %T"),
+    }
+    out["pass"] = (out["fwd_f32_relerr_vs_oracle"] < 1e-3
+                   and out["bwd_f32_relerr_vs_oracle"] < 1e-3
+                   and out["fwd_bf16x2_relerr_vs_f32"] < 2e-2)
+    return out
+
+
 # edge cap for the XLA baseline: its gather/scatter formulation materialises
 # O(E·dim) buffers and cannot run Reddit-scale graphs in 16 GB HBM. Above the
 # cap the baseline is measured on a same-structure smaller graph and reported
