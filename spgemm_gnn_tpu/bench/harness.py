@@ -134,13 +134,19 @@ def validate_numerics(g, pg, xk, ct, dim: int, k: int,
         a, b = np.asarray(a), np.asarray(b)
         return float(np.max(np.abs(a - b)) / (1e-6 + np.max(np.abs(b))))
 
+    # gradients are compared ON THE MAXK SUPPORT: the planned fast path
+    # returns the unmasked dense cotangent (MaxK's own VJP masks it next in
+    # the training composition), the CBSR path masks at the k channels —
+    # they agree exactly where the gradient is consumed.
+    support = np.asarray(xk) != 0
+
     old = planned.DEFAULT_STREAM
     try:
         y_x = fwd("xla", g)
-        g_x = bwd("xla", g)
+        g_x = bwd("xla", g) * support
         planned.DEFAULT_STREAM = "f32"
         y_p32 = fwd("pallas", pg)
-        g_p32 = bwd("pallas", pg)
+        g_p32 = bwd("pallas", pg) * support
         planned.DEFAULT_STREAM = "bf16x2"
         y_p16 = fwd("pallas", pg)
     finally:
