@@ -40,6 +40,11 @@ class TrainConfig:
     synthetic: bool = False              # allow synthetic stand-in datasets
     synthetic_scale: float = 1.0
     mesh_shape: int = 1                  # number of devices for data layout
+    # multi-host runtime (parallel/multihost.py); single-process when unset
+    multihost: bool = False
+    coordinator: str | None = None       # jax.distributed coordinator address
+    num_processes: int | None = None
+    process_id: int | None = None
     log_every: int = 1
     tensorboard: bool = False
     timing: bool = False                 # report aggregation-% (Amdahl stat)
@@ -98,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_scale", type=float, default=d.synthetic_scale)
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed (one process per host; "
+                        "see parallel/multihost.py)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--timing", action="store_true",

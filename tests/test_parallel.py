@@ -71,3 +71,44 @@ def test_dryrun_multichip(n):
     from spgemm_gnn_tpu.parallel.dryrun import run_dryrun
     loss = run_dryrun(n)
     assert np.isfinite(loss) and loss > 0
+
+
+def test_multihost_helpers():
+    """Multi-host plumbing: single-process no-op, hybrid mesh fallback on the
+    fake CPU mesh, process summary (SURVEY.md §5.8; real pods unreachable
+    here — the launch logic is what's testable)."""
+    from spgemm_gnn_tpu.parallel.multihost import (
+        initialize_multihost, make_hybrid_mesh, process_summary)
+    assert initialize_multihost(None, 1, 0) is False   # single-process no-op
+    mesh = make_hybrid_mesh(dcn=2, ici=4)
+    assert mesh.shape == {"dp": 2, "graph": 4}
+    mesh1 = make_hybrid_mesh(ici=8)                    # dcn inferred = 1
+    assert mesh1.shape == {"dp": 1, "graph": 8}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_hybrid_mesh(dcn=3, ici=3)
+    s = process_summary()
+    assert s["process_count"] == 1 and s["global_devices"] == 8
+
+
+def test_hybrid_mesh_trains():
+    """A (dp=2, graph=4) hybrid mesh supports the sharded-aggregation layout
+    on its ICI axis."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spgemm_gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from spgemm_gnn_tpu.parallel.sharded import shard_graph, sharded_spmm
+    from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
+    from spgemm_gnn_tpu.ops.spmm import spmm
+    mesh = make_hybrid_mesh(dcn=2, ici=4)
+    g = powerlaw_graph(200, 1600, seed=61)
+    sg = shard_graph(g, mesh, axis="graph")
+    x = np.zeros((sg.padded_nodes, 32), np.float32)
+    x[:g.num_nodes] = np.random.default_rng(0).standard_normal(
+        (g.num_nodes, 32))
+    xs = jax.device_put(x, NamedSharding(mesh, P("graph")))
+    y = np.asarray(jax.jit(
+        lambda xv, s: sharded_spmm(s, xv, "mean"))(xs, sg))
+    y_ref = np.asarray(spmm(g, jnp.asarray(x[:g.num_nodes]), "mean"))
+    np.testing.assert_allclose(y[:g.num_nodes], y_ref, rtol=1e-4, atol=1e-5)

@@ -17,6 +17,14 @@ def main(argv=None):
     from spgemm_gnn_tpu.train.config import from_args
     config = from_args(argv)
 
+    if config.multihost or config.coordinator:
+        # must run before any other jax call (backend initialisation)
+        from spgemm_gnn_tpu.parallel.multihost import (
+            initialize_multihost, process_summary)
+        initialize_multihost(config.coordinator, config.num_processes,
+                             config.process_id)
+        print(f"multihost runtime: {process_summary()}")
+
     os.makedirs(config.path, exist_ok=True)
     from spgemm_gnn_tpu.utils.logging import get_logger
     logger = get_logger(os.path.join(config.path, f"{config.dataset}.log"))
