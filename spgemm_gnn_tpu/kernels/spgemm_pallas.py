@@ -55,6 +55,12 @@ def _slab_gather(xt, idx):
     xt: [dim, B] (B a multiple of 128); idx: [C=128] int32.
     Returns [dim, C] in xt's dtype. One single-vreg lane gather + select per
     128-wide slab.
+
+    The gather/accumulate runs entirely in the INTEGER domain (bitcast in,
+    bitwise OR/AND-mask accumulate, bitcast out): float arithmetic here would
+    flush or poison bf16x2 bit-packed words whose f32 interpretation is
+    subnormal/NaN (the dominant case for MaxK-sparse features — ADVICE r1),
+    and integer bitwise ops are as cheap as the FMA select on the VPU.
     """
     dim, b = xt.shape
     c = idx.shape[0]
@@ -62,15 +68,14 @@ def _slab_gather(xt, idx):
     lane = jnp.where(idx >= 0, idx % LANES, 0)
     lane2d = jnp.broadcast_to(lane[None, :], (dim, c))
     slab_id = idx // LANES                       # -1 for padding
-    out = jnp.zeros((dim, c), xt.dtype)
+    xt_i = jax.lax.bitcast_convert_type(xt, jnp.int32)
+    out = jnp.zeros((dim, c), jnp.int32)
     for s in range(b // LANES):
-        sub = jnp.take_along_axis(xt[:, s * LANES:(s + 1) * LANES], lane2d,
-                                  axis=1)        # [dim, C]
-        # select, never float-multiply: xt may hold bf16x2 bit-packed f32
-        # whose values are subnormal/NaN — TPU VPU arithmetic would flush or
-        # poison them; a mux passes bits through untouched.
-        out = jnp.where((slab_id == s)[None, :], sub, out)
-    return out
+        sub = jnp.take_along_axis(xt_i[:, s * LANES:(s + 1) * LANES], lane2d,
+                                  axis=1)        # [dim, C] (bits)
+        mask = -((slab_id == s).astype(jnp.int32))   # 0 or 0xFFFFFFFF
+        out = out | (sub & mask[None, :])
+    return jax.lax.bitcast_convert_type(out, xt.dtype)
 
 
 def _unpack_bf16x2(packed_f32):
@@ -109,21 +114,28 @@ def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
         rel = rows - w0                          # [C] in [0, RW)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
+        # f32 operands at DEFAULT precision get truncated to bf16 on the MXU —
+        # the f32 stream must be exact, so request full-precision passes (the
+        # slab gather dominates runtime; the extra MXU passes are hidden)
+        prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         if packed:
             # bf16x2 stream: one gather serves two dim-halves
             m_lo, m_hi = _unpack_bf16x2(msgs_t)
             contrib = jnp.concatenate([
                 jax.lax.dot_general(onehot, m_lo.astype(mxu_dtype),
                                     (((1,), (1,)), ((), ())),
+                                    precision=prec,
                                     preferred_element_type=acc_dtype),
                 jax.lax.dot_general(onehot, m_hi.astype(mxu_dtype),
                                     (((1,), (1,)), ((), ())),
+                                    precision=prec,
                                     preferred_element_type=acc_dtype),
             ], axis=1)                            # [RW, dim]
         else:
             contrib = jax.lax.dot_general(
                 onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=acc_dtype)     # [RW, dim]
+                precision=prec, preferred_element_type=acc_dtype)  # [RW, dim]
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
 

@@ -56,7 +56,11 @@ def _stream_kernel(ws_ref,                     # scalar prefetch (SMEM)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
         msgs = msgs_ref[0, lo:lo + CHUNK, :].astype(mxu_dtype)   # [C, dim]
-        contrib = jnp.dot(onehot, msgs,
+        # f32 messages need full-precision MXU passes (DEFAULT truncates to
+        # bf16); the bf16 stream is already exact w.r.t. its own precision
+        prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        contrib = jnp.dot(onehot, msgs, precision=prec,
                           preferred_element_type=acc_dtype)      # [RW, dim]
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
