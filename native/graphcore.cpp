@@ -216,4 +216,153 @@ int gc_plan_fill(const int32_t* indices, int32_t* ws_dst, int32_t* ws_src,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Stream planning (see graphs/stream_tiles.py for the layout contract):
+// dst-sorted edges, global source ids, chunks limited by an 8-aligned RW-row
+// window AND the dst block, tiles of ≤S/C consecutive same-block chunks,
+// groups of ≤group_tiles tiles spanning < GB blocks, with filler tiles so
+// every block of a group's GB-range is visited. Output is bit-identical to
+// the Python builder (tests/test_native.py).
+// ---------------------------------------------------------------------------
+namespace {
+struct StreamState {
+  std::vector<int64_t> chunk_start, chunk_end;   // CSR-order edge ranges
+  std::vector<int64_t> tile_first_chunk, tile_nchunks;
+  std::vector<int32_t> tile_blk;
+  // per group: first block + member tiles (tile index, or -1 filler + block)
+  std::vector<int64_t> grp_first_blk;
+  std::vector<std::vector<std::pair<int32_t, int64_t>>> grp_tiles;  // (blk, t)
+  std::vector<int64_t> dst_of;
+  int64_t S, C, RW, R, GB, Wg, E;
+};
+StreamState g_sstate;
+}  // namespace
+
+// Pass 1: plan structure. Outputs G (groups) and Wg (padded tiles/group) via
+// pointers; returns 0 or -1 on error.
+int gc_stream_count(const int64_t* indptr, int64_t num_nodes, int64_t S,
+                    int64_t C, int64_t RW, int64_t R, int64_t GB,
+                    int64_t group_tiles, int64_t* out_G, int64_t* out_Wg) {
+  if (S % C || RW < 8 || RW % 8 || RW > R || GB < 1) return -1;
+  StreamState& st = g_sstate;
+  st = StreamState();
+  st.S = S; st.C = C; st.RW = RW; st.R = R; st.GB = GB;
+  int64_t E = indptr[num_nodes];
+  st.E = E;
+  st.dst_of.resize(E);
+  for (int64_t v = 0; v < num_nodes; ++v)
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) st.dst_of[e] = v;
+
+  // chunk cuts (edges already dst-sorted in CSR order)
+  int64_t p = 0;
+  while (p < E) {
+    int64_t row0a = (st.dst_of[p] / 8) * 8;
+    int64_t lim = std::min(row0a + RW, (st.dst_of[p] / R + 1) * R);
+    int64_t q = p, qmax = std::min(p + C, E);
+    while (q < qmax && st.dst_of[q] < lim) ++q;
+    st.chunk_start.push_back(p);
+    st.chunk_end.push_back(q);
+    p = q;
+  }
+
+  // tiles: ≤ S/C consecutive chunks of one dst block
+  int64_t cpt = S / C;
+  int64_t nchunks = (int64_t)st.chunk_start.size();
+  int64_t ci = 0;
+  while (ci < nchunks) {
+    int32_t b = (int32_t)(st.dst_of[st.chunk_start[ci]] / R);
+    int64_t first = ci, n = 0;
+    while (ci < nchunks && n < cpt &&
+           (int32_t)(st.dst_of[st.chunk_start[ci]] / R) == b) {
+      ++ci; ++n;
+    }
+    st.tile_first_chunk.push_back(first);
+    st.tile_nchunks.push_back(n);
+    st.tile_blk.push_back(b);
+  }
+
+  // groups: ≤ group_tiles tiles, block span < GB (hub blocks may split)
+  int64_t W = (int64_t)st.tile_blk.size();
+  std::vector<std::pair<int32_t, int64_t>> cur;
+  int64_t first_blk = 0;
+  for (int64_t t = 0; t < W; ++t) {
+    int32_t b = st.tile_blk[t];
+    if (!cur.empty() &&
+        ((int64_t)cur.size() == group_tiles || b - first_blk >= GB)) {
+      st.grp_first_blk.push_back(first_blk);
+      st.grp_tiles.push_back(cur);
+      cur.clear();
+    }
+    if (cur.empty()) first_blk = b;
+    cur.emplace_back(b, t);
+  }
+  if (!cur.empty()) {
+    st.grp_first_blk.push_back(first_blk);
+    st.grp_tiles.push_back(cur);
+  }
+  if (st.grp_tiles.empty()) {
+    st.grp_first_blk.push_back(0);
+    st.grp_tiles.emplace_back();
+  }
+
+  // fillers: every block in [fb, fb+GB) needs ≥1 tile (stable sort by block)
+  int64_t wg = 0;
+  for (size_t g = 0; g < st.grp_tiles.size(); ++g) {
+    auto& ts = st.grp_tiles[g];
+    int64_t fb = st.grp_first_blk[g];
+    std::vector<char> present(GB, 0);
+    for (auto& pr : ts) present[pr.first - fb] = 1;
+    for (int64_t b = 0; b < GB; ++b)
+      if (!present[b]) ts.emplace_back((int32_t)(fb + b), (int64_t)-1);
+    std::stable_sort(ts.begin(), ts.end(),
+                     [](const std::pair<int32_t, int64_t>& a,
+                        const std::pair<int32_t, int64_t>& b2) {
+                       return a.first < b2.first;
+                     });
+    wg = std::max(wg, (int64_t)ts.size());
+  }
+  st.Wg = wg;
+  *out_G = (int64_t)st.grp_tiles.size();
+  *out_Wg = wg;
+  return 0;
+}
+
+// Pass 2: fill ws_local [G,Wg], row0 [G], e_src i32 [G,Wg,S], e_dst i16.
+int gc_stream_fill(const int32_t* indices, int32_t* ws_local, int32_t* row0,
+                   int32_t* e_src, int16_t* e_dst) {
+  StreamState& st = g_sstate;
+  int64_t G = (int64_t)st.grp_tiles.size();
+  int64_t Wg = st.Wg, S = st.S, C = st.C, R = st.R;
+  std::fill(ws_local, ws_local + G * Wg, 0);
+  std::fill(e_src, e_src + G * Wg * S, 0);
+  std::fill(e_dst, e_dst + G * Wg * S, (int16_t)-1);
+  for (int64_t g = 0; g < G; ++g) {
+    int64_t fb = st.grp_first_blk[g];
+    row0[g] = (int32_t)(fb * R);
+    auto& ts = st.grp_tiles[g];
+    for (size_t w = 0; w < ts.size(); ++w) {
+      int32_t blk = ts[w].first;
+      int64_t t = ts[w].second;
+      ws_local[g * Wg + (int64_t)w] = (int32_t)(blk - fb);
+      if (t < 0) continue;   // filler tile: all padding slots
+      for (int64_t ci = 0; ci < st.tile_nchunks[t]; ++ci) {
+        int64_t cs = st.chunk_start[st.tile_first_chunk[t] + ci];
+        int64_t ce = st.chunk_end[st.tile_first_chunk[t] + ci];
+        int64_t base = (g * Wg + (int64_t)w) * S + ci * C;
+        for (int64_t e = cs; e < ce; ++e) {
+          e_src[base + (e - cs)] = indices[e];
+          e_dst[base + (e - cs)] =
+              (int16_t)(st.dst_of[e] - (int64_t)blk * R);
+        }
+      }
+    }
+    // pad tiles repeat the last real block (no first-visit re-zero)
+    if (!ts.empty())
+      for (int64_t w = (int64_t)ts.size(); w < Wg; ++w)
+        ws_local[g * Wg + w] = ws_local[g * Wg + (int64_t)ts.size() - 1];
+  }
+  g_sstate = StreamState();
+  return 0;
+}
+
 }  // extern "C"

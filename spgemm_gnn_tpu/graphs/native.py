@@ -58,6 +58,15 @@ def _load():
         lib.gc_plan_count.argtypes = [_i64p, _i32p] + [ctypes.c_int64] * 7
         lib.gc_plan_fill.restype = ctypes.c_int
         lib.gc_plan_fill.argtypes = [_i32p, _i32p, _i32p, _i16p, _i16p]
+        try:
+            lib.gc_stream_count.restype = ctypes.c_int
+            lib.gc_stream_count.argtypes = (
+                [_i64p, ctypes.c_int64] + [ctypes.c_int64] * 6
+                + [ctypes.POINTER(ctypes.c_int64)] * 2)
+            lib.gc_stream_fill.restype = ctypes.c_int
+            lib.gc_stream_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i16p]
+        except AttributeError:   # stale .so without the stream planner
+            lib.gc_stream_count = None
         _LIB = lib
         return lib
 
@@ -108,3 +117,34 @@ def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
     if rc != 0:
         return None
     return ws_dst, ws_src, e_src, e_dst
+
+
+def build_stream_arrays(indptr: np.ndarray, indices: np.ndarray,
+                        num_rows: int, S: int, C: int, RW: int, R: int,
+                        GB: int, group_tiles: int):
+    """Native stream planning (graphs/stream_tiles.py layout). Returns
+    (ws_local, row0, e_src, e_dst) or None. Bit-identical to the Python
+    builder (tests/test_native.py)."""
+    lib = _load()
+    if not lib or getattr(lib, "gc_stream_count", None) is None:
+        return None
+    indptr64 = np.ascontiguousarray(indptr, np.int64)
+    indices32 = np.ascontiguousarray(indices, np.int32)
+    with _LOCK:   # planner keeps state between the two passes
+        g_out = ctypes.c_int64()
+        wg_out = ctypes.c_int64()
+        rc = lib.gc_stream_count(indptr64, num_rows, S, C, RW, R, GB,
+                                 group_tiles, ctypes.byref(g_out),
+                                 ctypes.byref(wg_out))
+        if rc != 0:
+            return None
+        g, wg = g_out.value, wg_out.value
+        ws_local = np.empty((g, wg), np.int32)
+        row0 = np.empty(g, np.int32)
+        e_src = np.empty((g, wg, S), np.int32)
+        e_dst = np.empty((g, wg, S), np.int16)
+        rc = lib.gc_stream_fill(indices32, ws_local.reshape(-1), row0,
+                                e_src.reshape(-1), e_dst.reshape(-1))
+    if rc != 0:
+        return None
+    return ws_local, row0, e_src, e_dst

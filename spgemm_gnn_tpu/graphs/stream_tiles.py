@@ -127,12 +127,9 @@ def build_stream_plan(indptr: np.ndarray, indices: np.ndarray, num_rows: int,
         group_blocks = max(1, min(gb, max(65536 // R, 1), n_blocks))
     GB = group_blocks
 
-    dst = np.repeat(np.arange(num_rows, dtype=np.int64), np.diff(indptr))
-    src = np.asarray(indices, np.int64)
-
+    # native fast path (bit-identical output; tests/test_native.py)
     from spgemm_gnn_tpu.graphs import native
-    if use_native and native.available() and hasattr(native,
-                                                     "build_stream_arrays"):
+    if use_native and native.available():
         res = native.build_stream_arrays(indptr,
                                          np.asarray(indices, np.int32),
                                          num_rows, S, C, RW, R, GB,
@@ -146,6 +143,9 @@ def build_stream_plan(indptr: np.ndarray, indices: np.ndarray, num_rows: int,
                 tile_slots=S, dst_block=R, group_blocks=GB, window=RW,
                 padded_dst=(int(row0.max()) if len(row0) else 0) + GB * R,
                 num_edges=E, num_src_nodes=n_src)
+
+    dst = np.repeat(np.arange(num_rows, dtype=np.int64), np.diff(indptr))
+    src = np.asarray(indices, np.int64)
 
     # ---- chunk cuts: ≤128 consecutive edges, inside one 8-aligned RW-row
     # window AND one dst block --------------------------------------------

@@ -43,3 +43,29 @@ def test_native_csr_matches_numpy():
     np.testing.assert_array_equal(indptr, np.asarray(g.indptr))
     np.testing.assert_array_equal(indices, np.asarray(g.indices))
     np.testing.assert_array_equal(edge_dst, np.asarray(g.edge_dst))
+
+
+def test_native_stream_planner_bit_identical():
+    """gc_stream_count/fill must reproduce the Python StreamPlan exactly."""
+    from spgemm_gnn_tpu.graphs import native
+    from spgemm_gnn_tpu.graphs.stream_tiles import build_stream_plan
+    from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph, random_graph
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    graphs = [powerlaw_graph(900, 4000, seed=21),
+              random_graph(650, 2600, seed=23, symmetric=False)]
+    kws = [dict(tile_slots=256, dst_block=256, group_tiles=8),
+           dict(tile_slots=128, dst_block=128, group_tiles=2)]
+    for g in graphs:
+        for kw in kws:
+            ip, ix = np.asarray(g.indptr), np.asarray(g.indices)
+            p_n = build_stream_plan(ip, ix, g.num_nodes, use_native=True, **kw)
+            p_p = build_stream_plan(ip, ix, g.num_nodes, use_native=False,
+                                    **kw)
+            assert (p_n.num_groups, p_n.group_tiles, p_n.padded_dst) == \
+                (p_p.num_groups, p_p.group_tiles, p_p.padded_dst)
+            for f in ("ws_local", "row0", "e_src", "e_dst"):
+                np.testing.assert_array_equal(np.asarray(getattr(p_n, f)),
+                                              np.asarray(getattr(p_p, f)),
+                                              err_msg=f)
