@@ -23,7 +23,8 @@ from spgemm_gnn_tpu.graphs.stream_tiles import (
     StreamPlan, auto_stream_window, predicted_windowed_fill,
     stream_plan_for_graph)
 from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, plan_for_graph
-from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_transpose, planned_spmm
+from spgemm_gnn_tpu.kernels.spgemm_pallas import (
+    densify_rows, densify_transpose, planned_spmm, sample_channels)
 from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm
 
 # below this predicted chunk fill the windowed (src-blocked) kernel loses to
@@ -155,8 +156,8 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
     n = values.shape[0]
     v = values if src_f is None else values * src_f[:, None].astype(values.dtype)
     if isinstance(fwd_plan, StreamPlan):
-        from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
-        x = cbsr_to_dense(v, channels, dim).astype(stream_dtype)
+        x = densify_rows(v, channels, dim, out_dtype=stream_dtype,
+                         interpret=_interpret())
         y = stream_spmm(fwd_plan, x, stream=DEFAULT_STREAM,
                         interpret=_interpret())[:n]
         return _scale(y, dst_f)
@@ -174,7 +175,9 @@ def sspmm_backward(g_ct, channels, src_f, dst_f, plans,
     _, bwd_plan = plans
     gy = _scale(g_ct, dst_f)
     z = _planned_dense_spmm(bwd_plan, gy, stream_dtype)   # [N, dim] = Aᵀ·gy
-    dv = jnp.take_along_axis(z, channels, axis=-1)        # sample k channels
+    # sample the k surviving channels in-kernel (an XLA element gather at
+    # [N, k] scale dominates the whole backward at low degree)
+    dv = sample_channels(z, channels, interpret=_interpret())
     return _scale(dv, src_f)
 
 

@@ -193,6 +193,101 @@ def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
     )(values, channels)
 
 
+def _densify_rows_kernel(vals_ref, ch_ref, out_ref, *, k: int):
+    """out[n, d] = Σ_j (ch[n, j] == d) · vals[n, j] for one row block —
+    row-major sibling of _densify_t_kernel (the StreamPlan path consumes
+    [N, dim] features)."""
+    vals = vals_ref[:]                            # [Bn, k_pad]
+    ch = ch_ref[:]                                # [Bn, k_pad]
+    bn, dim = out_ref.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bn, dim), 1)
+    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for j in range(k):
+        ch_j = ch[:, j:j + 1]                     # [Bn, 1]
+        v_j = vals[:, j:j + 1].astype(out_ref.dtype)
+        acc = acc + (iota == ch_j).astype(out_ref.dtype) * v_j
+    out_ref[:] = acc
+
+
+def densify_rows(values: jax.Array, channels: jax.Array, dim: int,
+                 *, out_dtype=jnp.float32, row_block: int = 1024,
+                 interpret: bool = False) -> jax.Array:
+    """CBSR → dense row-major [N, dim] as a Pallas kernel (one VMEM pass —
+    replaces the XLA element scatter of ops.cbsr_to_dense, which dominates
+    the explicit-CBSR forward at low degree)."""
+    n, k = values.shape
+    n_pad = -(-n // row_block) * row_block
+    if n_pad != n:
+        values = jnp.pad(values, ((0, n_pad - n), (0, 0)))
+        channels = jnp.pad(channels, ((0, n_pad - n), (0, 0)),
+                           constant_values=-1)
+    k_pad = -(-k // LANES) * LANES
+    if k_pad != k:
+        values = jnp.pad(values, ((0, 0), (0, k_pad - k)))
+        channels = jnp.pad(channels, ((0, 0), (0, k_pad - k)),
+                           constant_values=-1)
+    kernel = functools.partial(_densify_rows_kernel, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // row_block,),
+        in_specs=[pl.BlockSpec((row_block, k_pad), lambda i: (i, 0)),
+                  pl.BlockSpec((row_block, k_pad), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((row_block, dim), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, dim), out_dtype),
+        interpret=interpret,
+    )(values, channels)
+    return out[:n]
+
+
+def _sample_channels_kernel(z_ref, ch_ref, out_ref, *, k: int, k_pad: int):
+    """out[n, j] = z[n, ch[n, j]] for one row block — one-hot contraction
+    instead of an element gather (Mosaic has no cross-lane row gather)."""
+    z = z_ref[:]                                  # [Bn, dim]
+    ch = ch_ref[:]                                # [Bn, k_pad]
+    bn, dim = z.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bn, dim), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (bn, k_pad), 1)
+    acc = jnp.zeros((bn, k_pad), out_ref.dtype)
+    for j in range(k):
+        onehot = (iota == ch[:, j:j + 1]).astype(z.dtype)   # [Bn, dim]
+        v = jnp.sum(z * onehot, axis=1, keepdims=True)      # [Bn, 1]
+        # place into column j via a column one-hot (lane-dim dynamic slices
+        # need 128 alignment in Mosaic)
+        acc = acc + v.astype(out_ref.dtype) * (iota_k == j).astype(
+            out_ref.dtype)
+    out_ref[:] = acc
+
+
+def sample_channels(z: jax.Array, channels: jax.Array, *,
+                    row_block: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """dv[n, j] = z[n, channels[n, j]] as a Pallas kernel — the SSpMM
+    channel-sampling step (replaces jnp.take_along_axis, an element gather
+    XLA lowers slowly at [N, k] scale)."""
+    n, dim = z.shape
+    k = channels.shape[1]
+    n_pad = -(-n // row_block) * row_block
+    if n_pad != n:
+        z = jnp.pad(z, ((0, n_pad - n), (0, 0)))
+        channels = jnp.pad(channels, ((0, n_pad - n), (0, 0)),
+                           constant_values=-1)
+    k_pad = -(-k // LANES) * LANES
+    ch = channels
+    if k_pad != k:
+        ch = jnp.pad(channels, ((0, 0), (0, k_pad - k)), constant_values=-1)
+    kernel = functools.partial(_sample_channels_kernel, k=k, k_pad=k_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // row_block,),
+        in_specs=[pl.BlockSpec((row_block, dim), lambda i: (i, 0)),
+                  pl.BlockSpec((row_block, k_pad), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((row_block, k_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), z.dtype),
+        interpret=interpret,
+    )(z, ch)
+    return out[:n, :k]
+
+
 def _pack_bf16x2(xt: jax.Array) -> jax.Array:
     """[dim, N] f32 → [dim/2, N] f32 bit-packing rows (d, d + dim/2) as two
     bf16 in one 32-bit lane. One slab-gather then serves both dim halves."""

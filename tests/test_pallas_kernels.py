@@ -118,3 +118,21 @@ def test_bf16x2_maxk_sparse_stream(pg, rng):
     y32 = np.asarray(planned_spmm(plan, xt, interpret=True))
     y16 = np.asarray(planned_spmm(plan, xt, stream="bf16x2", interpret=True))
     np.testing.assert_allclose(y16, y32, rtol=0, atol=1e-6)
+
+
+def test_densify_rows_and_sample_channels(rng):
+    """Row-major CBSR densify + channel sampling Pallas kernels vs the XLA
+    formulations they replace (the explicit-CBSR path's glue ops)."""
+    from spgemm_gnn_tpu.kernels.spgemm_pallas import (densify_rows,
+                                                      sample_channels)
+    from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense, maxk_cbsr
+    n, dim, k = 300, 128, 8
+    x = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32))
+    vals, ch = maxk_cbsr(x, k)
+    dense_p = np.asarray(densify_rows(vals, ch, dim, interpret=True))
+    dense_x = np.asarray(cbsr_to_dense(vals, ch, dim))
+    np.testing.assert_allclose(dense_p, dense_x, rtol=0, atol=0)
+    z = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32))
+    s_p = np.asarray(sample_channels(z, ch, interpret=True))
+    s_x = np.asarray(jnp.take_along_axis(z, ch, axis=-1))
+    np.testing.assert_allclose(s_p, s_x, rtol=0, atol=0)
