@@ -147,14 +147,16 @@ def _densify_t_kernel(vals_ref, ch_ref, out_ref, *, k: int):
     dim = out_ref.shape[0]
     bn = vals.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (dim, bn), 0)
-    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    # accumulate INTO out_ref per term: a fully-unrolled accumulator
+    # expression keeps ~k live [block] temporaries and blows the scoped-VMEM
+    # stack at k ≥ 64 (seen on-device)
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     for j in range(k):
         # static lane slice + reshape (mixed fancy indexing lowers to an
         # unsupported gather in Mosaic)
         ch_j = ch[:, j:j + 1].reshape(1, bn)
         v_j = vals[:, j:j + 1].reshape(1, bn).astype(out_ref.dtype)
-        acc = acc + (iota == ch_j).astype(out_ref.dtype) * v_j
-    out_ref[:] = acc
+        out_ref[:] = out_ref[:] + (iota == ch_j).astype(out_ref.dtype) * v_j
 
 
 def densify_transpose(values: jax.Array, channels: jax.Array, dim: int,
@@ -201,16 +203,15 @@ def _densify_rows_kernel(vals_ref, ch_ref, out_ref, *, k: int):
     ch = ch_ref[:]                                # [Bn, k_pad]
     bn, dim = out_ref.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, dim), 1)
-    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
-    for j in range(k):
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)   # liveness: see
+    for j in range(k):                                     # _densify_t_kernel
         ch_j = ch[:, j:j + 1]                     # [Bn, 1]
         v_j = vals[:, j:j + 1].astype(out_ref.dtype)
-        acc = acc + (iota == ch_j).astype(out_ref.dtype) * v_j
-    out_ref[:] = acc
+        out_ref[:] = out_ref[:] + (iota == ch_j).astype(out_ref.dtype) * v_j
 
 
 def densify_rows(values: jax.Array, channels: jax.Array, dim: int,
-                 *, out_dtype=jnp.float32, row_block: int = 1024,
+                 *, out_dtype=jnp.float32, row_block: int = 256,
                  interpret: bool = False) -> jax.Array:
     """CBSR → dense row-major [N, dim] as a Pallas kernel (one VMEM pass —
     replaces the XLA element scatter of ops.cbsr_to_dense, which dominates
@@ -247,19 +248,18 @@ def _sample_channels_kernel(z_ref, ch_ref, out_ref, *, k: int, k_pad: int):
     bn, dim = z.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, dim), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (bn, k_pad), 1)
-    acc = jnp.zeros((bn, k_pad), out_ref.dtype)
-    for j in range(k):
+    out_ref[:] = jnp.zeros((bn, k_pad), out_ref.dtype)     # liveness: see
+    for j in range(k):                                     # _densify_t_kernel
         onehot = (iota == ch[:, j:j + 1]).astype(z.dtype)   # [Bn, dim]
         v = jnp.sum(z * onehot, axis=1, keepdims=True)      # [Bn, 1]
         # place into column j via a column one-hot (lane-dim dynamic slices
         # need 128 alignment in Mosaic)
-        acc = acc + v.astype(out_ref.dtype) * (iota_k == j).astype(
-            out_ref.dtype)
-    out_ref[:] = acc
+        out_ref[:] = out_ref[:] + v.astype(out_ref.dtype) * (
+            iota_k == j).astype(out_ref.dtype)
 
 
 def sample_channels(z: jax.Array, channels: jax.Array, *,
-                    row_block: int = 512,
+                    row_block: int = 256,
                     interpret: bool = False) -> jax.Array:
     """dv[n, j] = z[n, channels[n, j]] as a Pallas kernel — the SSpMM
     channel-sampling step (replaces jnp.take_along_axis, an element gather
