@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--validate", action="store_true",
                     help="check pallas vs xla allclose before timing")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    ap.add_argument("--stream", default="f32", choices=["f32", "bf16x2"],
+                    help="Pallas feature-stream precision (f32 default for "
+                         "exact oracle comparisons)")
     ap.add_argument("--op", default="spgemm", choices=["spgemm", "maxk"],
                     help="spgemm: aggregation pair; maxk: the standalone "
                          "top-k kernel (the reference's maxk_kernel_test "
@@ -69,12 +72,14 @@ def main():
     import jax
     import jax.numpy as jnp
     from spgemm_gnn_tpu.bench.harness import time_chained
-    from spgemm_gnn_tpu.graphs.synthetic import powerlaw_graph
     from spgemm_gnn_tpu.kernels.api import aggregate_cbsr
+    from spgemm_gnn_tpu.kernels import planned
     from spgemm_gnn_tpu.kernels.planned import plan_graph
     from spgemm_gnn_tpu.ops.maxk import maxk_cbsr
 
-    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+    planned.DEFAULT_STREAM = args.stream
+    print(f"# devices: {jax.devices()} stream={args.stream}",
+          file=sys.stderr, flush=True)
 
     if args.op == "maxk":
         from spgemm_gnn_tpu.kernels.maxk_pallas import maxk_pallas
@@ -113,6 +118,10 @@ def main():
             from spgemm_gnn_tpu.graphs.datasets import load_dataset
             g = load_dataset(gname, args.data_path).graph
         pg = plan_graph(g, cache_dir=cache_dir)
+        eg = None
+        if "ell" in args.impls:
+            from spgemm_gnn_tpu.ops.ell import ell_graph
+            eg = ell_graph(g)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
                                             dtype=np.float32))
@@ -128,7 +137,7 @@ def main():
             row = {"graph": gname, "k": k, "dim": args.dim,
                    "edges": g.num_edges}
             for impl in args.impls:
-                graph = pg if impl == "pallas" else g
+                graph = {"pallas": pg, "ell": eg}.get(impl, g)
                 try:
                     fwd = jax.jit(lambda v, c, gr: aggregate_cbsr(
                         gr, v, c, args.dim, "mean", impl))

@@ -28,7 +28,7 @@ from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
 from spgemm_gnn_tpu.ops.norms import node_factors
 from spgemm_gnn_tpu.ops.spmm import spmm as _dense_spmm
 
-IMPLS = ("auto", "xla", "xla_dense", "pallas")
+IMPLS = ("auto", "xla", "xla_dense", "ell", "pallas")
 
 
 def _scale(x, f):
@@ -74,6 +74,9 @@ def _spgemm_fwd(dim, impl, values, channels, src_f, dst_f,
     if impl == "pallas":
         from spgemm_gnn_tpu.kernels import planned
         y = planned.spgemm_forward(dim, values, channels, src_f, dst_f, plans)
+    elif impl == "ell":
+        from spgemm_gnn_tpu.ops import ell
+        y = ell.spgemm_forward(dim, values, channels, src_f, dst_f, plans)
     elif impl in ("xla", "xla_dense", "auto"):
         y = _spgemm_forward_xla(dim, values, channels, src_f, dst_f,
                                 indices, edge_dst)
@@ -89,6 +92,9 @@ def _spgemm_bwd(dim, impl, res, g):
         from spgemm_gnn_tpu.kernels import planned
         dv = planned.sspmm_backward(g, channels, src_f, dst_f, plans)
         dv = dv.astype(values.dtype)
+    elif impl == "ell":
+        from spgemm_gnn_tpu.ops import ell
+        dv = ell.sspmm_backward(g, channels, src_f, dst_f, plans)
     elif impl == "xla_dense":
         # oracle path: dense transpose SpMM then sample at channels
         gy = _scale(g, dst_f)
@@ -120,7 +126,16 @@ def aggregate_cbsr(g, values, channels, dim: int, norm: str = "sum",
       impl: implementation selector; "auto" picks the best available.
     """
     from spgemm_gnn_tpu.kernels.planned import PlannedGraph
+    from spgemm_gnn_tpu.ops.ell import ELLGraph
     plans = None
+    if isinstance(g, ELLGraph):
+        # GNNAdvisor-role neighbor-group baseline (ops/ell.py)
+        plans = (g.fwd, g.bwd)
+        g = g.graph
+        if impl == "auto":
+            impl = "ell"
+    if impl == "ell" and plans is None:
+        raise ValueError("impl='ell' requires an ELLGraph (ops.ell.ell_graph)")
     if isinstance(g, PlannedGraph):
         plans = (g.fwd_plan, g.bwd_plan)
         if impl == "auto":

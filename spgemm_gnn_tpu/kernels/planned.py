@@ -20,8 +20,7 @@ from flax import struct
 
 from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.stream_tiles import (
-    StreamPlan, auto_stream_window, predicted_windowed_fill,
-    stream_plan_for_graph)
+    StreamPlan, predicted_windowed_fill, stream_plan_for_graph)
 from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, plan_for_graph
 from spgemm_gnn_tpu.kernels.spgemm_pallas import (
     densify_rows, densify_transpose, planned_spmm, sample_channels)
