@@ -53,7 +53,8 @@ def test_sharded_planned_backward(setup):
     np.testing.assert_allclose(dx[:g.num_nodes], dx_ref, rtol=1e-4, atol=1e-5)
 
 
-def test_trainer_mesh_pallas():
+@pytest.mark.parametrize("mesh", [4, 8])
+def test_trainer_mesh_pallas(mesh):
     """Trainer with mesh_shape>1 and impl=pallas: per-shard kernels end-to-end."""
     from spgemm_gnn_tpu.train.config import TrainConfig
     from spgemm_gnn_tpu.train.loop import Trainer
@@ -62,7 +63,7 @@ def test_trainer_mesh_pallas():
                       hidden_layers=2, maxk=4, dropout=0.0, w_lr=0.01,
                       nonlinear="maxk", impl="pallas", synthetic=True,
                       synthetic_scale=0.002, eval_every=1, log_every=0,
-                      mesh_shape=4)
+                      mesh_shape=mesh)
     tr = Trainer(cfg)
     assert isinstance(tr.g, ShardedPlannedGraph)
     res = tr.run()
