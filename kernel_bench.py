@@ -39,12 +39,56 @@ CORPUS_SWEEP = ["synth-tiny-dense", "synth-deg5", "synth-mid-sparse",
                 "synth-flickr-like", "synth-products-like", "synth-mid-dense",
                 "synth-deg200", "synth-reddit-density"]
 
+# The reference's full 24-graph benchmark suite (README.md:72-78 +
+# images/24graphs.png) — real sizes. Downloads are impossible here (zero
+# egress), so `--graphs corpus24` benches synthetic power-law STAND-INS that
+# reproduce each graph's node count and average degree, the two regime
+# parameters the kernels are sensitive to. Graphs above the caps are scaled
+# uniformly (degree preserved; `scale` recorded per row): the XLA baseline's
+# O(E·dim) buffers and the host tunnel bound benchable size.
+CORPUS_24_REF = {
+    "am": (881_680, 5_668_682),
+    "amazon0505": (410_236, 4_878_874),
+    "amazon0601": (403_394, 5_478_357),
+    "artist": (50_515, 1_638_396),
+    "citation": (2_927_963, 30_387_995),
+    "collab": (235_868, 2_358_104),
+    "com-amazon": (334_863, 1_851_744),
+    "DD": (334_925, 1_686_092),
+    "ddi": (4_267, 2_135_822),
+    "Flickr": (89_250, 989_006),
+    "ogbn-arxiv": (169_343, 1_166_243),
+    "ogbn-products": (2_449_029, 123_718_280),
+    "ogbn-proteins": (132_534, 79_122_504),
+    "OVCAR-8H": (1_889_542, 3_946_402),
+    "ppa": (576_289, 42_463_862),
+    "PROTEINS_full": (43_466, 162_088),
+    "pubmed": (19_717, 99_203),
+    "ppi": (56_944, 818_716),
+    "Reddit": (232_965, 114_615_891),
+    "SW-620H": (1_888_584, 3_944_206),
+    "TWITTER-Partial": (580_768, 1_435_116),
+    "Yeast": (1_710_902, 3_636_546),
+    "Yelp": (716_847, 13_954_819),
+    "youtube": (1_138_499, 5_980_886),
+}
+CORPUS24_EDGE_CAP = 4_200_000
+CORPUS24_NODE_CAP = 500_000
+
+
+def corpus24_standin(name: str) -> tuple[int, int, float]:
+    """(nodes, edges, scale) of the bench stand-in for a 24-suite graph."""
+    n, e = CORPUS_24_REF[name]
+    s = min(1.0, CORPUS24_EDGE_CAP / e, CORPUS24_NODE_CAP / n)
+    return max(int(n * s), 4_096), int(e * s), s
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", nargs="*", default=["synth-mid-dense"],
                     help=f"graph names: {list(SYNTH_CORPUS)}, 'sweep' (the "
-                         f"8-regime corpus), or dataset names")
+                         f"8-regime corpus), 'corpus24' (stand-ins for the "
+                         f"reference's 24-graph suite), or dataset names")
     ap.add_argument("--k", nargs="*", type=int, default=[8, 16, 32, 64])
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--impls", nargs="*", default=["xla", "pallas"])
@@ -106,14 +150,24 @@ def main():
 
     if args.graphs == ["sweep"]:
         args.graphs = CORPUS_SWEEP
+    elif args.graphs == ["corpus24"]:
+        args.graphs = list(CORPUS_24_REF)
     import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     for gname in args.graphs:
+        meta = {}
         if gname in SYNTH_CORPUS:
             n, e = SYNTH_CORPUS[gname]
             from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
             g = _cached_powerlaw(n, e // 2, 0)
+        elif gname in CORPUS_24_REF:
+            n, e, s = corpus24_standin(gname)
+            from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
+            g = _cached_powerlaw(n, e // 2, 0)
+            meta = {"ref_nodes": CORPUS_24_REF[gname][0],
+                    "ref_edges": CORPUS_24_REF[gname][1],
+                    "scale": round(s, 4)}
         else:
             from spgemm_gnn_tpu.graphs.datasets import load_dataset
             g = load_dataset(gname, args.data_path).graph
@@ -135,7 +189,7 @@ def main():
         for k in args.k:
             vals, ch = maxk_cbsr(x, k)
             row = {"graph": gname, "k": k, "dim": args.dim,
-                   "edges": g.num_edges}
+                   "edges": g.num_edges, **meta}
             for impl in args.impls:
                 graph = {"pallas": pg, "ell": eg}.get(impl, g)
                 try:

@@ -93,6 +93,33 @@ def auto_window(num_nodes: int, num_edges: int, src_block: int,
     return rw
 
 
+# src_block candidates for auto selection, and the chunk-fill level below
+# which shrinking B stops paying. Measured on-chip (docs/DESIGN.md §cost
+# model): per-edge VPU slab work ∝ B/128 while the MXU window term ∝ RW/fill,
+# so the smallest B whose chunks stay ≳60% full wins in every regime tested
+# (scripts/plan_tune.py sweeps, RESULTS.md §plan geometry).
+SRC_BLOCK_CHOICES = (128, 256, 512)
+SRC_BLOCK_FILL_TARGET = 0.6
+
+
+def auto_src_block(num_nodes: int, num_edges: int,
+                   num_src_nodes: int | None = None) -> int:
+    """Smallest source block whose predicted chunk fill clears the target
+    (falls back to the fullest candidate when none does — the low-degree
+    regime, where plan_graph switches to the StreamPlan anyway)."""
+    from spgemm_gnn_tpu.graphs.stream_tiles import predicted_windowed_fill
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
+    best, best_fill = SRC_BLOCK_CHOICES[-1], -1.0
+    for b in SRC_BLOCK_CHOICES:
+        rw = auto_window(num_nodes, num_edges, b, num_src_nodes=n_src)
+        f = predicted_windowed_fill(num_nodes, num_edges, b, n_src, rw)
+        if f >= SRC_BLOCK_FILL_TARGET:
+            return b
+        if f > best_fill:
+            best, best_fill = b, f
+    return best
+
+
 def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
                     *, tile_slots: int = 1024, src_block: int = 256,
                     dst_block: int = 4096, window: int | None = None,

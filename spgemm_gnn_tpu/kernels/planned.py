@@ -21,7 +21,8 @@ from flax import struct
 from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.stream_tiles import (
     StreamPlan, predicted_windowed_fill, stream_plan_for_graph)
-from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, plan_for_graph
+from spgemm_gnn_tpu.graphs.tiles import (
+    TilePlan, auto_src_block, auto_window, plan_for_graph)
 from spgemm_gnn_tpu.kernels.spgemm_pallas import (
     densify_rows, densify_transpose, planned_spmm, sample_channels)
 from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm
@@ -75,7 +76,8 @@ class PlannedGraph:
         return self.graph.t_edge_dst
 
 
-def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
+def plan_graph(g: Graph, *, tile_slots: int = 1024,
+               src_block: int | None = None,
                dst_block: int = 4096, window: int | None = None,
                kind: str = "auto", cache_dir: str | None = None
                ) -> PlannedGraph:
@@ -84,6 +86,8 @@ def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
     kind: "windowed" | "stream" | "auto" — auto predicts the windowed chunk
     fill from the degree statistics and switches to the streaming plan below
     WINDOWED_FILL_CUTOVER (the flickr/yelp/products regime).
+    src_block: None → auto_src_block picks the smallest B whose chunks stay
+    full (measured best in every regime, scripts/plan_tune.py).
     cache_dir: if set, plans are persisted to disk keyed by the CSR content
     fingerprint + parameters (the reference's `64_warp_4/*.warp4` metadata
     amortisation — kernels/generate_meta.py role); second runs skip the build.
@@ -91,13 +95,19 @@ def plan_graph(g: Graph, *, tile_slots: int = 1024, src_block: int = 256,
     plan aliases the forward plan (halves build time and device transfer)."""
     if kind not in ("auto", "windowed", "stream"):
         raise ValueError(f"unknown plan kind {kind!r}")
+    # the stream-vs-windowed cutover is calibrated at B=256 (KERNEL_SWEEP
+    # corpus) — decide the kind there, THEN pick the src block for the
+    # windowed branch (auto_src_block's fill target is a windowed-only model)
+    kind_b = src_block if src_block is not None else 256
+    if src_block is None:
+        src_block = auto_src_block(g.num_nodes, g.num_edges)
 
     def one(transpose: bool):
         k = kind
         if k == "auto":
-            rw = window or auto_window(g.num_nodes, g.num_edges, src_block)
+            rw = window or auto_window(g.num_nodes, g.num_edges, kind_b)
             est = predicted_windowed_fill(g.num_nodes, g.num_edges,
-                                          src_block, g.num_nodes, rw)
+                                          kind_b, g.num_nodes, rw)
             k = "windowed" if est >= WINDOWED_FILL_CUTOVER else "stream"
 
         def build():

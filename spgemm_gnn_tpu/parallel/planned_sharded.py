@@ -47,7 +47,8 @@ from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.stream_tiles import (
     StreamPlan, auto_stream_window, build_stream_plan,
     predicted_windowed_fill)
-from spgemm_gnn_tpu.graphs.tiles import TilePlan, auto_window, build_tile_plan
+from spgemm_gnn_tpu.graphs.tiles import (
+    TilePlan, auto_src_block, auto_window, build_tile_plan)
 from spgemm_gnn_tpu.kernels.planned import (
     WINDOWED_FILL_CUTOVER, planned_pair_apply)
 
@@ -258,7 +259,11 @@ def _build_role(csrs: list[tuple[np.ndarray, np.ndarray]], rows: int,
     """Build one plan per shard for a role and stack them (shared geometry)."""
     total_e = sum(int(p[-1]) for p, _ in csrs)
     avg_e = total_e / max(len(csrs), 1)
-    kind = _choose_kind(rows, avg_e, src_block, num_src, window)
+    # kind cutover is calibrated at B=256; auto-B applies inside the
+    # windowed branch only (see kernels/planned.py::plan_graph)
+    kind = _choose_kind(rows, avg_e, src_block or 256, num_src, window)
+    if src_block is None:
+        src_block = auto_src_block(rows, int(avg_e), num_src_nodes=num_src)
     if kind == "windowed":
         rw = window or min(auto_window(rows, int(avg_e), src_block,
                                        num_src_nodes=num_src), dst_block)
@@ -280,7 +285,7 @@ def _build_role(csrs: list[tuple[np.ndarray, np.ndarray]], rows: int,
 
 
 def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
-                        tile_slots: int = 1024, src_block: int = 256,
+                        tile_slots: int = 1024, src_block: int | None = None,
                         dst_block: int = 2048,
                         window: int | None = None) -> ShardedPlannedGraph:
     """Partition by destination blocks, split local/halo edges, compute the

@@ -87,6 +87,21 @@ def test_auto_window_density():
     assert auto_window(1_000_000, 2_000_000, 1024) == 256
 
 
+def test_auto_src_block():
+    """auto_src_block reproduces the on-chip sweep winners (RESULTS.md §plan
+    geometry): smallest B with full chunks; falls back to the fullest B."""
+    from spgemm_gnn_tpu.graphs.tiles import auto_src_block
+    # reddit-degree regimes: chunks stay full even at B=128 (measured best)
+    assert auto_src_block(29_121, 14_325_000) == 128    # medium headline
+    assert auto_src_block(8_000, 3_936_000) == 128      # reddit-density
+    assert auto_src_block(15_000, 3_000_000) == 128     # deg200
+    # mid-dense: B=128 fill collapses (0.43 predicted) — 256 clears
+    assert auto_src_block(60_000, 6_000_000) == 256
+    # low-degree (flickr shape): nothing clears — fullest candidate (the
+    # plan kind cutover sends these to the StreamPlan anyway)
+    assert auto_src_block(89_250, 989_006) == 512
+
+
 def test_fill_reported():
     g = powerlaw_graph(300, 5000, seed=1)
     plan = plan_for_graph(g, **P)
