@@ -22,13 +22,17 @@ REGIMES = {
 }
 
 CONFIGS = [
-    ("auto", {}),
+    ("auto", {}),               # auto_src_block + auto_window
     ("w8", {"window": 8}),
     ("w16", {"window": 16}),
     ("w32", {"window": 32}),
+    ("w64", {"window": 64}),
+    ("w128", {"window": 128}),
     ("b128", {"src_block": 128}),
+    ("b256", {"src_block": 256}),
     ("b512", {"src_block": 512}),
     ("b512-w8", {"src_block": 512, "window": 8}),
+    ("s512", {"tile_slots": 512}),
     ("s2048", {"tile_slots": 2048}),
 ]
 
