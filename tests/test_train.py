@@ -77,6 +77,21 @@ def test_pallas_impl_trains():
     assert np.isfinite(res["history"][-1].loss)
 
 
+def test_impl_trajectory_parity():
+    """The Pallas aggregation path reproduces the XLA oracle's full training
+    trajectory (same seed/init/data, dropout off): per-epoch losses match to
+    float-reordering tolerance — the end-to-end kernel-correctness statement."""
+    losses = {}
+    for impl in ("xla", "pallas"):
+        cfg = tiny_config(nonlinear="maxk", impl=impl, epochs=6, dropout=0.0,
+                          eval_every=3, synthetic_scale=0.002, hidden_dim=16,
+                          maxk=4)
+        res = Trainer(cfg).run()
+        losses[impl] = np.array([h.loss for h in res["history"]])
+    np.testing.assert_allclose(losses["pallas"], losses["xla"],
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_bf16_dtype_trains():
     cfg = tiny_config(dtype="bfloat16", epochs=6, eval_every=3)
     res = Trainer(cfg).run()
