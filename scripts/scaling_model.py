@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--shards", type=int, nargs="*", default=[2, 4, 8])
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--k", type=int, default=32)
-    ap.add_argument("--rate_gedges", type=float, default=0.689,
+    ap.add_argument("--rate_gedges", type=float, default=0.830,
                     help="measured per-chip aggregation rate (bench.py)")
     ap.add_argument("--ici_gbps", type=float, default=100.0,
                     help="per-chip ICI bandwidth budget (v5e class, "
