@@ -24,11 +24,30 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense, maxk as _maxk_xla
 from spgemm_gnn_tpu.ops.norms import node_factors
 from spgemm_gnn_tpu.ops.spmm import spmm as _dense_spmm
 
 IMPLS = ("auto", "xla", "xla_dense", "ell", "pallas")
+
+
+def maxk_op(x: jax.Array, k: int | None, impl: str = "auto") -> jax.Array:
+    """Top-k nonlinearity dispatch (the reference `maxk_forward` binding role,
+    utils/maxk_layers.py:16-45).
+
+    On a single real TPU the Pallas pivot kernel (kernels/maxk_pallas.py,
+    bit-exact vs the XLA oracle, ~3x faster at k=32 — RESULTS.md) serves the
+    hot path; everywhere else (CPU tests, multi-device meshes where x is a
+    sharded global array) the XLA `lax.top_k` masking oracle runs. impl="xla"
+    forces the oracle.
+    """
+    if k is None or k >= x.shape[-1]:
+        return x
+    if (impl in ("pallas", "auto") and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        from spgemm_gnn_tpu.kernels.maxk_pallas import maxk_pallas
+        return maxk_pallas(x, k)
+    return _maxk_xla(x, k)
 
 
 def _scale(x, f):

@@ -12,11 +12,10 @@ import flax.linen as nn
 import jax
 
 
-from spgemm_gnn_tpu.kernels.api import aggregate
+from spgemm_gnn_tpu.kernels.api import aggregate, maxk_op
 from spgemm_gnn_tpu.models.layers import (
     SAGEConv, GraphConvAgg, GINAgg, xavier_uniform, xavier_uniform_relu,
 )
-from spgemm_gnn_tpu.ops.maxk import maxk
 
 
 class _Base(nn.Module):
@@ -32,7 +31,7 @@ class _Base(nn.Module):
     def _nl(self, x):
         """The per-layer nonlinearity; returns (activated, k_for_aggregation)."""
         if self.nonlinear == "maxk":
-            return maxk(x, self.maxk), self.maxk
+            return maxk_op(x, self.maxk, self.impl), self.maxk
         return nn.relu(x), None
 
 

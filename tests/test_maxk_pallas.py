@@ -49,3 +49,16 @@ def test_maxk_pallas_k_ge_dim(rng):
     x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(maxk_pallas(x, 128, 8)),
                                   np.asarray(x))
+
+
+def test_maxk_op_dispatch(rng):
+    """kernels.api.maxk_op: XLA oracle on CPU, pass-through for k >= dim."""
+    from spgemm_gnn_tpu.kernels.api import maxk_op
+    x = jnp.asarray(rng.standard_normal((24, 128)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(maxk_op(x, 8)),
+                                  np.asarray(maxk(x, 8)))
+    np.testing.assert_array_equal(np.asarray(maxk_op(x, None)), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(maxk_op(x, 128)), np.asarray(x))
+    # forced oracle matches too
+    np.testing.assert_array_equal(np.asarray(maxk_op(x, 8, impl="xla")),
+                                  np.asarray(maxk(x, 8)))
