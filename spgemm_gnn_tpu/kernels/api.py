@@ -198,6 +198,6 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
         g = g.graph
     if k is None or k >= x.shape[-1]:
         return _dense_spmm(g, x, norm)
-    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
-    values, channels = cbsr_from_masked(x, k)
+    from spgemm_gnn_tpu.ops.maxk import cbsr_compact
+    values, channels = cbsr_compact(x, k)
     return aggregate_cbsr(g, values, channels, x.shape[-1], norm, impl)

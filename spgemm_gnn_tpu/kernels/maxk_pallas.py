@@ -139,3 +139,108 @@ def _maxk_bwd(k, block, interpret, res, g):
 
 
 maxk_pallas.defvjp(_maxk_fwd, _maxk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# CBSR compaction: masked dense [N, dim] → (values [N, k], channels [N, k])
+# ---------------------------------------------------------------------------
+# The reference's maxk_kernel emits `sp_data` + `sp_index` (CBSR) directly
+# (kernels/maxk_cuda_kernels.cu, SURVEY.md §2.1 [bin]); our XLA construction
+# `ops.maxk.cbsr_from_masked` instead pays a second lax.top_k (on the nonzero
+# indicator) plus sort plus gather per layer. This kernel does the extraction
+# as pure compaction — x is already MaxK-masked, so the channels are just the
+# nonzero lanes in ascending order:
+#
+# per row, k iterations of "take the lowest-keyed remaining lane":
+#   key = channel            for nonzero lanes
+#   key = dim + channel      for zero lanes (pad channels, lowest-index zeros,
+#                            same distinct-channel padding as the XLA oracle)
+#   c = min(key); emit (channel = c mod dim, value = Σ x·onehot(c)); kill c.
+#
+# Channel distinctness (each lane selected at most once) is what makes the
+# gather VJP a plain scatter — see _cbsr_compact_bwd.
+
+LANES = 128
+
+
+def _cbsr_compact_kernel(x_ref, val_ref, ch_ref, *, k: int, dim: int,
+                         k_pad: int):
+    x = x_ref[:]                                        # [B, dim_pad]
+    b, dim_pad = x.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, dim_pad), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    # selection keys: nonzero lanes first (ascending channel), then zero lanes
+    # (ascending); lane-padding beyond `dim` is never selectable
+    key = jnp.where(x != 0, iota, dim + iota)
+    if dim_pad != dim:
+        key = jnp.where(iota < dim, key, 3 * dim_pad)
+    vals = jnp.zeros((b, k_pad), val_ref.dtype)
+    chans = jnp.zeros((b, k_pad), jnp.int32)
+    for j in range(k):
+        c = jnp.min(key, axis=1, keepdims=True)         # [B, 1]
+        hit = key == c                                  # [B, dim_pad] one-hot
+        v = jnp.sum(jnp.where(hit, x, 0.0), axis=1, keepdims=True)
+        key = jnp.where(hit, 3 * dim_pad, key)          # kill the taken lane
+        slot = (iota_k == j)
+        chans = chans + jnp.where(slot, c - (c >= dim) * dim, 0)
+        vals = vals + jnp.where(slot, v.astype(val_ref.dtype), 0.0)
+    val_ref[:] = vals
+    ch_ref[:] = chans
+
+
+def _cbsr_compact_call(x, k, block, interpret):
+    n, dim = x.shape
+    if block is None:
+        # scoped-VMEM liveness grows with the unrolled k loop (same hazard as
+        # spgemm_pallas._densify_t_kernel); halve the row block past k=32
+        block = 512 if k <= 32 else 256
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pad = -(-n // block) * block
+    dim_pad = -(-dim // LANES) * LANES
+    if (n_pad, dim_pad) != (n, dim):
+        x = jnp.pad(x, ((0, n_pad - n), (0, dim_pad - dim)))
+    k_pad = -(-k // LANES) * LANES
+    kernel = functools.partial(_cbsr_compact_kernel, k=k, dim=dim,
+                               k_pad=k_pad)
+    vals, chans = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block,),
+        in_specs=[pl.BlockSpec((block, dim_pad), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((block, k_pad), lambda i: (i, 0)),
+                   pl.BlockSpec((block, k_pad), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, k_pad), x.dtype),
+                   jax.ShapeDtypeStruct((n_pad, k_pad), jnp.int32)),
+        interpret=interpret,
+    )(x)
+    return vals[:n, :k], chans[:n, :k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def cbsr_compact_pallas(x: jax.Array, k: int, block: int | None = None,
+                        interpret: bool | None = None
+                        ) -> tuple[jax.Array, jax.Array]:
+    """CBSR of an already-MaxK-masked x — Pallas drop-in for
+    `ops.maxk.cbsr_from_masked` (same contract: ≤ k nonzeros per row in, k
+    distinct channels out, deficient rows padded with zero-valued channels;
+    pad ORDER differs — nonzeros first here, merged-ascending in the oracle —
+    which no consumer observes: densify/sample/exchange are order-free).
+    """
+    return _cbsr_compact_fwd(x, k, block, interpret)[0]
+
+
+def _cbsr_compact_fwd(x, k, block, interpret):
+    out = _cbsr_compact_call(x, k, block, interpret)
+    return out, (out[1], x.shape[-1])
+
+
+def _cbsr_compact_bwd(k, block, interpret, res, g):
+    channels, dim = res
+    dvals = g[0]
+    # values = x[rows, channels] with distinct channels ⇒ dx is the scatter of
+    # dvals back to those channels (exactly the oracle take_along_axis VJP)
+    from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+    return (cbsr_to_dense(dvals, channels, dim),)
+
+
+cbsr_compact_pallas.defvjp(_cbsr_compact_fwd, _cbsr_compact_bwd)

@@ -64,6 +64,18 @@ def cbsr_from_masked(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return values, channels
 
 
+def cbsr_compact(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """cbsr_from_masked with the fast path: on TPU the Pallas compaction
+    kernel (kernels/maxk_pallas.py::cbsr_compact_pallas — the reference's
+    maxk_kernel emits sp_data/sp_index directly, this is that role); the XLA
+    oracle elsewhere. Same contract; pad-channel ORDER may differ on rows
+    with < k nonzeros (no consumer observes order)."""
+    if jax.default_backend() == "tpu":
+        from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+        return cbsr_compact_pallas(x, k)
+    return cbsr_from_masked(x, k)
+
+
 def cbsr_to_dense(values: jax.Array, channels: jax.Array, dim: int) -> jax.Array:
     """Scatter CBSR back to a dense [N, dim] array (zeros elsewhere)."""
     n = values.shape[0]

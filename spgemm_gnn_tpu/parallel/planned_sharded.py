@@ -420,9 +420,9 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
             perm = lambda s: [(i, (i + s) % d) for i in range(d)]
             if compress:
                 from spgemm_gnn_tpu.ops.maxk import (
-                    cbsr_from_masked, cbsr_to_dense, pack_channels,
+                    cbsr_compact, cbsr_to_dense, pack_channels,
                     unpack_channels)
-                vals, ch = cbsr_from_masked(xs, k)
+                vals, ch = cbsr_compact(xs, k)
                 pch = pack_channels(ch)
                 pv, pc = [], []
                 for s in range(1, d):

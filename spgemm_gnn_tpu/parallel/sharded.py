@@ -127,8 +127,8 @@ def sharded_spmm(sg: ShardedGraph, x: jax.Array, norm: str = "sum",
 
     if k is not None and k < dim:
         # CBSR compression before the collective
-        from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
-        values, channels = cbsr_from_masked(x_in, k)
+        from spgemm_gnn_tpu.ops.maxk import cbsr_compact
+        values, channels = cbsr_compact(x_in, k)
 
         def local_cbsr(vals_blk, ch_blk, e_src, e_dst_local):
             vals_g = jax.lax.all_gather(vals_blk, axis, tiled=True)   # [N,k]

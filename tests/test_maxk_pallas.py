@@ -62,3 +62,62 @@ def test_maxk_op_dispatch(rng):
     # forced oracle matches too
     np.testing.assert_array_equal(np.asarray(maxk_op(x, 8, impl="xla")),
                                   np.asarray(maxk(x, 8)))
+
+
+# ---------------------------------------------------------------------------
+# CBSR compaction kernel (cbsr_compact_pallas) vs the XLA oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dim,k", [(256, 32), (200, 8), (384, 64)])
+def test_cbsr_compact_full_rows_exact(rng, dim, k):
+    """Rows with exactly k nonzeros: channels AND values bit-match the
+    oracle (ops.maxk.cbsr_from_masked)."""
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
+    x = jnp.asarray(rng.standard_normal((120, dim)).astype(np.float32))
+    xm = maxk(x, k)
+    v0, c0 = cbsr_from_masked(xm, k)
+    v1, c1 = cbsr_compact_pallas(xm, k)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_cbsr_compact_deficient_rows(rng):
+    """Rows with < k nonzeros: dense reconstruction is exact and the k
+    channels stay distinct (the property the scatter VJP needs)."""
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+    dim, k = 256, 16
+    xm = maxk(jnp.asarray(rng.standard_normal((80, dim)).astype(np.float32)), k)
+    xm = jnp.where(jnp.asarray(rng.random((80, dim)) < 0.5), xm, 0.0)
+    v, c = cbsr_compact_pallas(xm, k)
+    np.testing.assert_array_equal(
+        np.asarray(cbsr_to_dense(v, c, dim)), np.asarray(xm))
+    c = np.asarray(c)
+    assert all(len(set(row)) == k for row in c)
+    # all-zero row pads with the k lowest channels
+    v0, c0 = cbsr_compact_pallas(jnp.zeros((8, dim), jnp.float32), k)
+    np.testing.assert_array_equal(np.asarray(v0), 0.0)
+    np.testing.assert_array_equal(np.asarray(c0),
+                                  np.broadcast_to(np.arange(k), (8, k)))
+
+
+def test_cbsr_compact_grad_matches_oracle(rng):
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
+    dim, k = 256, 8
+    xm = maxk(jnp.asarray(rng.standard_normal((60, dim)).astype(np.float32)), k)
+    w = jnp.asarray(rng.standard_normal((60, k)).astype(np.float32))
+    g0 = jax.grad(lambda x: jnp.sum(cbsr_from_masked(x, k)[0] * w))(xm)
+    g1 = jax.grad(lambda x: jnp.sum(cbsr_compact_pallas(x, k)[0] * w))(xm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+
+def test_cbsr_compact_dispatch_cpu(rng):
+    """ops.maxk.cbsr_compact falls back to the oracle off-TPU."""
+    from spgemm_gnn_tpu.ops.maxk import cbsr_compact, cbsr_from_masked
+    xm = maxk(jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32)), 4)
+    v0, c0 = cbsr_from_masked(xm, 4)
+    v1, c1 = cbsr_compact(xm, 4)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
