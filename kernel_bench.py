@@ -101,10 +101,13 @@ def main():
     ap.add_argument("--stream", default="f32", choices=["f32", "bf16x2"],
                     help="Pallas feature-stream precision (f32 default for "
                          "exact oracle comparisons)")
-    ap.add_argument("--op", default="spgemm", choices=["spgemm", "maxk"],
+    ap.add_argument("--op", default="spgemm",
+                    choices=["spgemm", "maxk", "cbsr"],
                     help="spgemm: aggregation pair; maxk: the standalone "
                          "top-k kernel (the reference's maxk_kernel_test "
-                         "second build, README.md:113-131)")
+                         "second build, README.md:113-131); cbsr: the "
+                         "compaction kernel emitting (values, channels) — "
+                         "the maxk_kernel sp_data/sp_index emission role")
     args = ap.parse_args()
 
     if args.cpu:
@@ -146,6 +149,35 @@ def main():
             print(json.dumps(row) if args.json else
                   f"maxk k={k:3d}  pallas {t_p*1e3:7.2f}ms  "
                   f"xla-topk {t_x*1e3:7.2f}ms  ({t_x/t_p:.2f}x)", flush=True)
+        return
+
+    if args.op == "cbsr":
+        from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+        from spgemm_gnn_tpu.ops.maxk import (
+            cbsr_from_masked, cbsr_to_dense, maxk)
+        n, dim = (200_000, args.dim) if not args.cpu else (2_000, args.dim)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal((n, dim), dtype=np.float32))
+        for k in args.k:
+            row = {"op": "cbsr", "n": n, "dim": dim, "k": k}
+            x = jax.jit(lambda xv, _k=k: maxk(xv, _k))(x0)
+            f_p = jax.jit(lambda xv, _k=k: cbsr_compact_pallas(xv, _k))
+            f_x = jax.jit(lambda xv, _k=k: cbsr_from_masked(xv, _k))
+            if args.validate:
+                (vp, cp), (vx, cx) = f_p(x), f_x(x)
+                err = float(jnp.max(jnp.abs(
+                    cbsr_to_dense(vp, cp, dim) - cbsr_to_dense(vx, cx, dim))))
+                row["err"] = err
+            t_p = time_chained(lambda xv: xv + f_p(xv)[0].sum() * 1e-9,
+                               x, args.iters)
+            t_x = time_chained(lambda xv: xv + f_x(xv)[0].sum() * 1e-9,
+                               x, args.iters)
+            row["pallas_ms"] = round(t_p * 1e3, 3)
+            row["xla_ms"] = round(t_x * 1e3, 3)
+            row["speedup"] = round(t_x / t_p, 2)
+            print(json.dumps(row) if args.json else
+                  f"cbsr k={k:3d}  pallas {t_p*1e3:7.2f}ms  "
+                  f"xla {t_x*1e3:7.2f}ms  ({t_x/t_p:.2f}x)", flush=True)
         return
 
     if args.graphs == ["sweep"]:

@@ -121,3 +121,25 @@ def test_cbsr_compact_dispatch_cpu(rng):
     v1, c1 = cbsr_compact(xm, 4)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_cbsr_compact_under_shard_map(rng):
+    """The compaction kernel (interpret) inside shard_map on the virtual mesh
+    — the configuration the multi-chip CBSR exchange uses on real chips."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked
+    from spgemm_gnn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    dim, k = 128, 8
+    xm = maxk(jnp.asarray(rng.standard_normal((64, dim)).astype(np.float32)), k)
+    fn = shard_map(partial(cbsr_compact_pallas, k=k, interpret=True),
+                   mesh=mesh, in_specs=P(mesh.axis_names[0]),
+                   out_specs=P(mesh.axis_names[0]), check_vma=False)
+    v1, c1 = fn(xm)
+    v0, c0 = cbsr_from_masked(xm, k)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
