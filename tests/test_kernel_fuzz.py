@@ -45,3 +45,39 @@ def test_fuzz_planned_vs_oracle(kind, n, e, dim, s, b, r, rw):
     from spgemm_gnn_tpu.ops.spmm import spmm_transpose
     dx_ref = np.asarray(spmm_transpose(g, ct, "mean"))
     np.testing.assert_allclose(dx, dx_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_cbsr_compact(seed):
+    """Random (n, dim, k, sparsity) against the XLA construction: dense
+    reconstruction exact, channels distinct, gradient matches."""
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked, cbsr_to_dense, maxk
+
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(3, 400))
+    dim = int(rng.choice([128, 200, 256, 384]))
+    k = int(rng.choice([1, 2, 8, 17, 32]))
+    block = int(rng.choice([64, 128, 512]))
+    x = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32))
+    xm = maxk(x, k)
+    if rng.random() < 0.5:   # deficient rows
+        xm = jnp.where(jnp.asarray(rng.random((n, dim)) < 0.4), xm, 0.0)
+    v, c = cbsr_compact_pallas(xm, k, block)
+    cfg = f"n={n} dim={dim} k={k} block={block}"
+    np.testing.assert_array_equal(np.asarray(cbsr_to_dense(v, c, dim)),
+                                  np.asarray(xm), err_msg=cfg)
+    assert all(len(set(row)) == k for row in np.asarray(c)), cfg
+    # weight the loss by CHANNEL (slot order differs between the kernel and
+    # the oracle on deficient rows; the channel set is identical)
+    u = jnp.asarray(rng.standard_normal(dim).astype(np.float32))
+
+    def loss(fn, t):
+        vals, ch = fn(t, k)
+        return jnp.sum(vals * jnp.take(u, ch))
+
+    g1 = jax.grad(lambda t: loss(
+        lambda a, b: cbsr_compact_pallas(a, b, block), t))(xm)
+    g0 = jax.grad(lambda t: loss(cbsr_from_masked, t))(xm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6,
+                               err_msg=cfg)
