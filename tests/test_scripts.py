@@ -63,3 +63,43 @@ def test_comparator_against_real_reference_logs():
     mod = _load("compare_to_reference_log")
     r = mod.parse_reference_log(path)
     assert abs(r["best_test"] - 0.5341) < 1e-9   # SURVEY.md §6 flickr row
+
+
+def test_trajectory_compare(tmp_path):
+    """trajectory_check compare: gates on first-epoch loss + accuracy parity,
+    reports later drift without failing on it."""
+    tc = _load("trajectory_check")
+
+    def write(path, losses, acc):
+        hist = [{"epoch": i, "loss": l, "train_acc": 0.5, "val_acc": 0.4,
+                 "test_acc": 0.4} for i, l in enumerate(losses)]
+        json.dump({"backend": "cpu", "impl": "xla", "stream": "f32",
+                   "epochs": len(losses), "scale": 0.1, "history": hist,
+                   "best_test_accuracy": acc}, open(path, "w"))
+
+    a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    out = str(tmp_path / "cmp.json")
+    # same first epoch, divergent later epochs, close accuracy -> PASS
+    write(a, [4.0, 3.0, 2.0], 0.50)
+    write(b, [4.0 * (1 + 5e-5), 3.2, 2.5], 0.505)
+    tc.main(["compare", a, b, "--out", out])
+    d = json.load(open(out))
+    assert d["pass"] and d["max_loss_rel_diff"] > 0.05
+    # first-epoch mismatch -> FAIL (exit 1)
+    write(b, [4.2, 3.0, 2.0], 0.50)
+    import pytest
+    with pytest.raises(SystemExit):
+        tc.main(["compare", a, b, "--out", out])
+    assert not json.load(open(out))["pass"]
+
+
+def test_plan_scale_cli(capsys):
+    """plan_scale at toy size: cold build then warm cache hit, JSON line."""
+    import tempfile
+    ps = _load("plan_scale")
+    with tempfile.TemporaryDirectory() as td:
+        ps.main(["--nodes", "500", "--edges", "3000", "--cache", td,
+                 "--out", os.path.join(td, "row.json")])
+        row = json.load(open(os.path.join(td, "row.json")))
+    assert row["nodes"] == 500 and row["cold_build_s"] >= 0
+    assert "plan build" in capsys.readouterr().out
