@@ -27,12 +27,45 @@ class _Base(nn.Module):
     use_norm: bool = False
     nonlinear: str = "maxk"   # "maxk" | "relu"
     impl: str = "auto"
+    remat: bool = False       # rematerialise per-layer aggregation on backward
 
     def _nl(self, x):
         """The per-layer nonlinearity; returns (activated, k_for_aggregation)."""
         if self.nonlinear == "maxk":
             return maxk_op(x, self.maxk, self.impl), self.maxk
         return nn.relu(x), None
+
+    def _conv(self, mod, g, x, train, *, nl: bool = False):
+        """Apply the message-passing submodule (optionally preceded by the
+        nonlinearity), under `nn.remat` when `self.remat` is set.
+
+        Full-graph activations are the memory bound at products scale
+        (SURVEY.md §7.3: 2.45M × 256 f32 ≈ 2.5 GB per saved tensor); remat
+        drops the aggregation internals + the masked activation from the
+        residual set and recomputes them in the backward — the standard
+        TPU memory/compute trade. `train` stays a static closure (a traced
+        bool would break Dropout's python branch)."""
+        def body(m, gg, xx):
+            if nl:
+                xx, _ = self._nl(xx)
+            return m(gg, xx, train=train)
+        if self.remat:
+            return nn.remat(body, prevent_cse=False)(mod, g, x)
+        return body(mod, g, x)
+
+    def _agg(self, g, x, norm, *, nl: bool = False):
+        """Parameter-free (nonlinearity +) aggregate, `jax.checkpoint`-wrapped
+        when `self.remat` is set (the integrated models call `aggregate`
+        directly rather than through a submodule)."""
+        k = self.maxk if self.nonlinear == "maxk" else None
+
+        def body(xx):
+            if nl:
+                xx, _ = self._nl(xx)
+            return aggregate(g, xx, norm=norm, k=k, impl=self.impl)
+        if self.remat:
+            return jax.checkpoint(body, prevent_cse=False)(x)
+        return body(x)
 
 
 class SAGE(_Base):
@@ -43,11 +76,12 @@ class SAGE(_Base):
     def __call__(self, g, x, *, train: bool = False):
         x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
                      name="lin_in")(x)
+        k = self.maxk if self.nonlinear == "maxk" else None
         for i in range(self.num_layers):
-            x, k = self._nl(x)
-            x = SAGEConv(self.hidden_dim, feat_drop=self.feat_drop,
-                         use_norm=self.use_norm, k_sparse=k, impl=self.impl,
-                         name=f"layer{i}")(g, x, train=train)
+            conv = SAGEConv(self.hidden_dim, feat_drop=self.feat_drop,
+                            use_norm=self.use_norm, k_sparse=k,
+                            impl=self.impl, name=f"layer{i}")
+            x = self._conv(conv, g, x, train, nl=True)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
 
@@ -65,8 +99,9 @@ class GCN(_Base):
                          name=f"lin{i}")(x)
             x, k = self._nl(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
-            x = GraphConvAgg(self.hidden_dim, k_sparse=k, impl=self.impl,
-                             name=f"conv{i}")(g, x, train=train)
+            x = self._conv(GraphConvAgg(self.hidden_dim, k_sparse=k,
+                                        impl=self.impl, name=f"conv{i}"),
+                           g, x, train)
             if self.use_norm:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
@@ -86,8 +121,8 @@ class GIN(_Base):
                          name=f"lin{i}")(x)
             x, k = self._nl(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
-            x = GINAgg(k_sparse=k, impl=self.impl, name=f"conv{i}")(
-                g, x, train=train)
+            x = self._conv(GINAgg(k_sparse=k, impl=self.impl,
+                                  name=f"conv{i}"), g, x, train)
             if self.use_norm:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
@@ -106,8 +141,8 @@ class GNNRes(_Base):
         for i in range(self.num_layers):
             res = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
                            name=f"res{i}")(x)
-            x = GraphConvAgg(self.hidden_dim, impl=self.impl,
-                             name=f"conv{i}")(g, x, train=train)
+            x = self._conv(GraphConvAgg(self.hidden_dim, impl=self.impl,
+                                        name=f"conv{i}"), g, x, train)
             if self.use_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name=f"bn{i}")(x)
@@ -140,8 +175,7 @@ class MaxKSAGE(_Base):
             h_neigh = nn.Dense(self.hidden_dim, use_bias=False,
                                kernel_init=xavier_uniform_relu,
                                name=f"fc_neigh{i}")(x)
-            h_neigh, k = self._nl(h_neigh)
-            agg = aggregate(g, h_neigh, norm="mean", k=k, impl=self.impl)
+            agg = self._agg(g, h_neigh, "mean", nl=True)
             x = h_self + agg
             if self.use_norm:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
@@ -168,8 +202,7 @@ class MaxKGCN(_Base):
             x = nn.Dense(self.hidden_dim, use_bias=False,
                          kernel_init=xavier_uniform_relu,
                          name=f"conv_w{i}")(x)
-            x, k = self._nl(x)
-            x = aggregate(g, x, norm="gcn", k=k, impl=self.impl)
+            x = self._agg(g, x, "gcn", nl=True)
             bias = self.param(f"conv_b{i}", nn.initializers.zeros,
                               (self.hidden_dim,))
             x = x + bias
@@ -194,7 +227,8 @@ class MaxKGIN(_Base):
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             x, k = self._nl(x)
             eps = self.param(f"eps{i}", nn.initializers.zeros, ())
-            agg = aggregate(g, x, norm="sum", k=k, impl=self.impl)
+            # the masked x feeds both terms, so only the aggregate remats
+            agg = self._agg(g, x, "sum")
             x = (1.0 + eps) * x + agg
             if self.use_norm:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
@@ -209,7 +243,8 @@ MODELS = {"sage": SAGE, "gcn": GCN, "gin": GIN, "gnn_res": GNNRes,
 
 def build_model(model: str, *, hidden_dim: int, num_layers: int, out_dim: int,
                 maxk: int = 32, feat_drop: float = 0.5, use_norm: bool = False,
-                nonlinear: str = "maxk", impl: str = "auto") -> nn.Module:
+                nonlinear: str = "maxk", impl: str = "auto",
+                remat: bool = False) -> nn.Module:
     """Factory mirroring the reference driver's model dispatch
     (maxk_gnn_dgl.py:291-298)."""
     if model not in MODELS:
@@ -217,4 +252,5 @@ def build_model(model: str, *, hidden_dim: int, num_layers: int, out_dim: int,
                          f"{sorted(MODELS)}")
     return MODELS[model](hidden_dim=hidden_dim, num_layers=num_layers,
                          out_dim=out_dim, maxk=maxk, feat_drop=feat_drop,
-                         use_norm=use_norm, nonlinear=nonlinear, impl=impl)
+                         use_norm=use_norm, nonlinear=nonlinear, impl=impl,
+                         remat=remat)

@@ -33,6 +33,8 @@ class TrainConfig:
     path: str = "./run/"                 # output dir (logs, checkpoints, TB)
     # --- TPU-framework additions ---
     impl: str = "auto"                   # aggregation impl: auto|xla|xla_dense|pallas
+    remat: bool = False                  # rematerialise per-layer aggregation
+    #                                      (memory/compute trade at products scale)
     eval_every: int = 1                  # reference evaluates every epoch (§7.3)
     checkpoint_every: int = 0            # 0 = only final/best
     resume: bool = False
@@ -96,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path", default=d.path, metavar="PATH")
     p.add_argument("--impl", default=d.impl,
                    choices=["auto", "xla", "xla_dense", "pallas"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise per-layer aggregation on backward "
+                        "(trades recompute for activation memory at "
+                        "products-scale graphs)")
     p.add_argument("--eval_every", type=int, default=d.eval_every)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true")

@@ -99,3 +99,25 @@ def test_sage_param_structure(small_graph, rng):
     # SAGEConv: fc_neigh bias-free, fc_self biased (DGL parity)
     assert "bias" not in p["layer0"]["fc_neigh"]
     assert "bias" in p["layer0"]["fc_self"]
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_remat_matches_no_remat(small_graph, rng, name):
+    """--remat is numerically a no-op: identical forward and gradients, only
+    the backward's residual set changes (SURVEY.md §7.3 memory trade)."""
+    g = small_graph
+    x = _data(g, rng)
+    outs = []
+    for remat in (False, True):
+        model = build_model(name, hidden_dim=HID, num_layers=LAYERS,
+                            out_dim=OUT, maxk=K, feat_drop=0.0,
+                            nonlinear="maxk", remat=remat)
+        params = model.init(jax.random.PRNGKey(3), g, x)
+        y = model.apply(params, g, x)
+        grads = jax.grad(
+            lambda p: (model.apply(p, g, x, train=True) ** 2).sum())(params)
+        outs.append((np.asarray(y), jax.device_get(grads)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        outs[0][1], outs[1][1])
