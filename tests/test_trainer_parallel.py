@@ -34,3 +34,12 @@ def test_mesh_matches_single_device_first_loss():
                                rtol=1e-4)
     np.testing.assert_allclose(r1["history"][0].train_acc,
                                r8["history"][0].train_acc, rtol=1e-4)
+
+
+def test_mesh_remat_matches_no_remat():
+    """--remat composes with the mesh path (nn.remat inside shard_map'd
+    aggregation) and stays numerically a no-op."""
+    r0 = Trainer(cfg(epochs=2, eval_every=1, mesh_shape=4)).run()
+    r1 = Trainer(cfg(epochs=2, eval_every=1, mesh_shape=4, remat=True)).run()
+    for a, b in zip(r0["history"], r1["history"]):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=1e-6)
