@@ -135,7 +135,11 @@ def main():
     planned.DEFAULT_STREAM = args.stream
     log(f"pallas feature stream: {args.stream}")
 
-    phase("inputs", 300)   # graph/plan build is disk-cached; transfer rides
+    # phase budgets scale with edge count past the medium scale (the full
+    # 114M-edge graph moves ~8x the device payload and first-compiles at new
+    # shapes); medium keeps the tuned 300/200 s budgets exactly
+    bf = max(1, min(6, e // 20_000_000 + 1))
+    phase("inputs", 300 * bf)  # graph/plan build is disk-cached; transfer rides
     t0 = time.perf_counter()
     g, pg, xk, ct = harness._bench_inputs(n, e, args.dim, args.k, 0, None)
     kind = type(pg.fwd_plan).__name__
@@ -152,7 +156,7 @@ def main():
             json.dump(val, f, indent=1)
         log(f"validate: {val} -> {vpath}")
 
-    phase("pallas", 200)
+    phase("pallas", 200 * min(bf, 3))
     try:  # pallas first: its number must survive a baseline failure
         res["pallas"] = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
                                            "mean", "pallas", args.iters)
