@@ -149,12 +149,28 @@ def main():
 
     if args.validate:
         phase("validate", 240)
-        val = harness.validate_numerics(g, pg, xk, ct, args.dim, args.k)
-        vpath = os.path.join(cache_dir, f"validate_{metric}.json")
-        os.makedirs(cache_dir, exist_ok=True)
-        with open(vpath, "w") as f:
-            json.dump(val, f, indent=1)
-        log(f"validate: {val} -> {vpath}")
+        try:
+            if g.num_edges > harness.XLA_BASELINE_EDGE_CAP:
+                # the XLA-oracle backward materialises an [E, k] gather that
+                # lane-pads to [E, 128] — 57 GB at the full scale. Validate
+                # the same kernel code on a subsampled graph instead (same
+                # cap + rationale as the xla baseline phase below).
+                vscale = harness.XLA_BASELINE_EDGE_CAP / e
+                vin = harness._bench_inputs(
+                    max(int(n * vscale), 1024), harness.XLA_BASELINE_EDGE_CAP,
+                    args.dim, args.k, 0, None)
+                val = harness.validate_numerics(*vin, args.dim, args.k)
+                val["subsampled_edges"] = int(vin[0].num_edges)
+            else:
+                val = harness.validate_numerics(g, pg, xk, ct,
+                                                args.dim, args.k)
+            vpath = os.path.join(cache_dir, f"validate_{metric}.json")
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(vpath, "w") as f:
+                json.dump(val, f, indent=1)
+            log(f"validate: {val} -> {vpath}")
+        except Exception as exc:   # never let validation kill the headline
+            log(f"validate failed ({type(exc).__name__}: {exc})")
 
     phase("pallas", 200 * min(bf, 3))
     try:  # pallas first: its number must survive a baseline failure

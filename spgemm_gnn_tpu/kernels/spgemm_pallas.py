@@ -44,9 +44,13 @@ from spgemm_gnn_tpu.graphs.tiles import CHUNK, TilePlan
 LANES = 128
 
 
-def _first_visit(i, ws_dst_ref):
-    prev = ws_dst_ref[jnp.maximum(i - 1, 0)]
-    return jnp.logical_or(i == 0, ws_dst_ref[i] != prev)
+def _first_visit(i, pw_ref, nsrc: int):
+    """True on the first grid step of each destination block. pw packs
+    (dst_block * nsrc + src_block) in one int32 — one SMEM prefetch array
+    instead of two, which doubles the max chunk count before the ~1 MB SMEM
+    ceiling (full-Reddit scale needs ~152K chunks = 593 KB packed)."""
+    prev = pw_ref[jnp.maximum(i - 1, 0)] // nsrc
+    return jnp.logical_or(i == 0, pw_ref[i] // nsrc != prev)
 
 
 def _slab_gather(xt, idx):
@@ -90,13 +94,13 @@ def _unpack_bf16x2(packed_f32):
     return lo, hi
 
 
-def _spmm_kernel(ws_dst_ref, ws_src_ref,         # scalar prefetch (SMEM)
+def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
                  xt_ref, e_src_ref, e_dst_ref,   # VMEM blocks
                  out_ref, *, window: int, acc_dtype, mxu_dtype,
-                 packed: bool):
+                 packed: bool, nsrc: int):
     i = pl.program_id(0)
 
-    @pl.when(_first_visit(i, ws_dst_ref))
+    @pl.when(_first_visit(i, pw_ref, nsrc))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -337,8 +341,18 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
         # runs TF32 matmuls — maxk_gnn_dgl.py:30)
         mxu = mxu_dtype or xt_padded.dtype
 
+    # pack (dst block, src block) into ONE prefetched int32 per chunk —
+    # scalar-prefetch arrays live in SMEM (~1 MB), and two separate arrays
+    # exceeded it at the 114M-edge scale (151K chunks × 4 B × 2)
+    nsrc = plan.padded_src // B
+    ndst = plan.padded_dst // R
+    if ndst * nsrc > 2**31 - 1:
+        raise ValueError(f"packed chunk key overflows int32 "
+                         f"({ndst} dst × {nsrc} src blocks)")
+    pw = (plan.ws_dst_block.astype(jnp.int32) * nsrc
+          + plan.ws_src_block.astype(jnp.int32))
     kernel = functools.partial(_spmm_kernel, window=RW, acc_dtype=acc_dtype,
-                               mxu_dtype=mxu, packed=packed)
+                               mxu_dtype=mxu, packed=packed, nsrc=nsrc)
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.
@@ -346,18 +360,18 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     e_src3 = plan.e_src_local.astype(jnp.int32).reshape(w, 1, S)
     e_dst3 = plan.e_dst_local.astype(jnp.int32).reshape(w, 1, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(w,),
         in_specs=[
-            pl.BlockSpec((dim_blk, B), lambda i, wd, ws: (0, ws[i])),
-            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda i, wd, ws: (i, 0, 0)),
+            pl.BlockSpec((dim_blk, B), lambda i, pwr: (0, pwr[i] % nsrc)),
+            pl.BlockSpec((1, 1, S), lambda i, pwr: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, pwr: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((R, dim), lambda i, wd, ws: (wd[i], 0)),
+        out_specs=pl.BlockSpec((R, dim), lambda i, pwr: (pwr[i] // nsrc, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.padded_dst, dim), acc_dtype),
         interpret=interpret,
-    )(plan.ws_dst_block, plan.ws_src_block, xt_padded, e_src3, e_dst3)
+    )(pw, xt_padded, e_src3, e_dst3)
