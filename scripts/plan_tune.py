@@ -19,6 +19,7 @@ REGIMES = {
     "deg200": (15_000, 3_000_000),
     "mid-dense": (60_000, 6_000_000),
     "medium": (29_121, 14_325_000),
+    "full": (232_965, 114_000_000),   # Reddit scale (bench.py --scale full)
 }
 
 CONFIGS = [
