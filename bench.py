@@ -169,8 +169,12 @@ def main():
             with open(vpath, "w") as f:
                 json.dump(val, f, indent=1)
             log(f"validate: {val} -> {vpath}")
-        except Exception as exc:   # never let validation kill the headline
+        except Exception as exc:   # never let validation kill the headline —
+            # but record the failure so the emitted artifact shows validation
+            # did not complete (ADVICE r2: a log line alone can masquerade as
+            # a validated run)
             log(f"validate failed ({type(exc).__name__}: {exc})")
+            res["validate_error"] = f"{type(exc).__name__}: {exc}"
 
     phase("pallas", 200 * min(bf, 3))
     try:  # pallas first: its number must survive a baseline failure
@@ -221,6 +225,8 @@ def main():
               "vs_baseline": round(vs, 3), "stream": args.stream,
               "msg_gbps": round(msg_gbps, 1),
               "roofline_gather_gbps": ROOFLINE_GATHER_GBPS}
+    if "validate_error" in res:
+        result["validate_error"] = res["validate_error"]
     if eps > 0:
         try:   # remember for the stall-watchdog fallback of future runs
             os.makedirs(cache_dir, exist_ok=True)

@@ -168,9 +168,13 @@ def main():
                 err = float(jnp.max(jnp.abs(
                     cbsr_to_dense(vp, cp, dim) - cbsr_to_dense(vx, cx, dim))))
                 row["err"] = err
-            t_p = time_chained(lambda xv: xv + f_p(xv)[0].sum() * 1e-9,
+            # zero-preserving chain: a multiplicative perturbation keeps the
+            # masked sparsity pattern (≤ k nonzeros/row) intact across timed
+            # iterations — an additive chain would densify the input from
+            # iteration 2 and break the compaction precondition (ADVICE r2)
+            t_p = time_chained(lambda xv: xv * (1 + f_p(xv)[0].sum() * 1e-9),
                                x, args.iters)
-            t_x = time_chained(lambda xv: xv + f_x(xv)[0].sum() * 1e-9,
+            t_x = time_chained(lambda xv: xv * (1 + f_x(xv)[0].sum() * 1e-9),
                                x, args.iters)
             row["pallas_ms"] = round(t_p * 1e3, 3)
             row["xla_ms"] = round(t_x * 1e3, 3)

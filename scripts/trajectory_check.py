@@ -68,6 +68,14 @@ def compare(args) -> None:
     b = json.load(open(args.b))
     ha, hb = a["history"], b["history"]
     n = min(len(ha), len(hb))
+    if n == 0:
+        # an empty history means one run produced nothing to compare — fail
+        # loudly with an artifact instead of an IndexError (ADVICE r2)
+        artifact = {"pass": False,
+                    "error": f"empty history (len a={len(ha)}, b={len(hb)})"}
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        sys.exit(f"FAIL: empty trajectory history -> {args.out}")
     rows, max_rel = [], 0.0
     for ra, rb in zip(ha[:n], hb[:n]):
         rel = abs(ra["loss"] - rb["loss"]) / max(abs(ra["loss"]), 1e-12)

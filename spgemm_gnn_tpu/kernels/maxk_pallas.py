@@ -225,6 +225,13 @@ def cbsr_compact_pallas(x: jax.Array, k: int, block: int | None = None,
     distinct channels out, deficient rows padded with zero-valued channels;
     pad ORDER differs — nonzeros first here, merged-ascending in the oracle —
     which no consumer observes: densify/sample/exchange are order-free).
+
+    Gradient caveat (ADVICE r2): on deficient rows the per-SLOT gradient of
+    `values` differs from the oracle's under an order-sensitive cotangent,
+    because the pad slots sit at different positions. Gradients are equivalent
+    only through order-invariant consumers (any scatter/densify of the slots —
+    i.e. everything in this repo); tests/test_maxk_pallas.py asserts grad
+    parity through cbsr_to_dense, the contract future callers must keep.
     """
     return _cbsr_compact_fwd(x, k, block, interpret)[0]
 

@@ -69,8 +69,14 @@ def cbsr_compact(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     kernel (kernels/maxk_pallas.py::cbsr_compact_pallas — the reference's
     maxk_kernel emits sp_data/sp_index directly, this is that role); the XLA
     oracle elsewhere. Same contract; pad-channel ORDER may differ on rows
-    with < k nonzeros (no consumer observes order)."""
-    if jax.default_backend() == "tpu":
+    with < k nonzeros (no consumer observes order).
+
+    Multi-device guard (mirrors kernels/api.py::maxk_op): pallas_call cannot
+    lower on a sharded global array, and callers like parallel/sharded.py
+    invoke this OUTSIDE shard_map on the node-sharded x — the XLA oracle
+    runs there; per-shard Pallas compaction lives inside shard_map bodies
+    (parallel/planned_sharded.py)."""
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
         from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
         return cbsr_compact_pallas(x, k)
     return cbsr_from_masked(x, k)

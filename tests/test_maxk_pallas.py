@@ -113,6 +113,28 @@ def test_cbsr_compact_grad_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
 
 
+def test_cbsr_compact_grad_deficient_rows_via_densify(rng):
+    """On DEFICIENT rows the pad-slot order differs from the oracle, so raw
+    per-slot gradients may diverge under an order-sensitive cotangent; the
+    kernel's contract (docstring) is grad equivalence through order-invariant
+    consumers. Assert it through cbsr_to_dense — the scatter every in-repo
+    consumer is built on (ADVICE r2)."""
+    from spgemm_gnn_tpu.kernels.maxk_pallas import cbsr_compact_pallas
+    from spgemm_gnn_tpu.ops.maxk import cbsr_from_masked, cbsr_to_dense
+    dim, k = 256, 16
+    xm = maxk(jnp.asarray(rng.standard_normal((80, dim)).astype(np.float32)), k)
+    xm = jnp.where(jnp.asarray(rng.random((80, dim)) < 0.5), xm, 0.0)  # deficient
+    w = jnp.asarray(rng.standard_normal((80, dim)).astype(np.float32))
+
+    def loss(x, compact):
+        v, c = compact(x, k)
+        return jnp.sum(cbsr_to_dense(v, c, dim) * w)
+
+    g0 = jax.grad(lambda x: loss(x, cbsr_from_masked))(xm)
+    g1 = jax.grad(lambda x: loss(x, cbsr_compact_pallas))(xm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+
 def test_cbsr_compact_dispatch_cpu(rng):
     """ops.maxk.cbsr_compact falls back to the oracle off-TPU."""
     from spgemm_gnn_tpu.ops.maxk import cbsr_compact, cbsr_from_masked
