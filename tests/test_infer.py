@@ -56,6 +56,29 @@ def test_khop_closure_contains_neighbors(setup):
     assert nodes[pos[0]] == 5
 
 
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_khop_csr_matches_from_edges(symmetric):
+    """The direct CSR construction (VERDICT r2 #8 vectorisation) must equal
+    from_edges on the same edge list — both transpose regimes (the filtered
+    global-t scan and the argsort fallback) and the hop edge cases."""
+    from spgemm_gnn_tpu.graphs.csr import from_edges
+    from spgemm_gnn_tpu.graphs.synthetic import random_graph
+    g = random_graph(300, 2500, seed=7, symmetric=symmetric)
+    seeds = np.random.default_rng(2).choice(300, 25, replace=False)
+    for hops in (1, 2, 3, 4):      # 3-4 saturate the closure on this graph
+        sub, nodes, pos = khop_in_subgraph(g, seeds, hops)
+        assert (nodes[pos] == np.unique(seeds)).all()
+        ref = from_edges(np.asarray(sub.indices), np.asarray(sub.edge_dst),
+                         sub.num_nodes, symmetric=False)
+        for f in ("indptr", "indices", "edge_dst",
+                  "t_indptr", "t_indices", "t_edge_dst"):
+            a, b = np.asarray(getattr(sub, f)), np.asarray(getattr(ref, f))
+            assert a.shape == b.shape and (a == b).all(), (symmetric, hops, f)
+    sub0, nodes0, _ = khop_in_subgraph(g, seeds, 0)
+    assert sub0.num_edges == 0
+    assert (nodes0 == np.unique(seeds)).all()
+
+
 def test_predict_through_cached_store(setup):
     """The minibatch path exercises the device cache: repeated batches over
     hot nodes transfer less than a direct store."""
