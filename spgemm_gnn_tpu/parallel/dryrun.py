@@ -86,3 +86,95 @@ def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
     loss_val = float(loss)
     assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
     return loss_val
+
+
+# ---------------------------------------------------------------------------
+# config-matrix sweep (VERDICT r2 #6): every multi-chip exchange variant,
+# validated against the single-device oracle, comm_stats recorded per config
+# ---------------------------------------------------------------------------
+
+# (name, degree regime → plan kind, exchange k, stream, norm)
+SWEEP_CONFIGS = (
+    ("windowed_dense_f32_sum",   "dense",  None, "f32",    "sum"),
+    ("windowed_cbsr_f32_mean",   "dense",  8,    "f32",    "mean"),
+    ("windowed_cbsr_bf16_gcn",   "dense",  8,    "bf16x2", "gcn"),
+    ("stream_dense_f32_mean",    "sparse", None, "f32",    "mean"),
+    ("stream_cbsr_bf16_sum",     "sparse", 8,    "bf16x2", "sum"),
+    ("stream_cbsr_f32_gcn",      "sparse", 8,    "f32",    "gcn"),
+)
+
+
+def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
+    """Run every SWEEP_CONFIGS variant of the Pallas multi-chip exchange on an
+    n-device mesh: forward AND input-gradient vs the single-device XLA oracle,
+    plus the per-config comm volume (`comm_stats`). Returns one record per
+    config; raises on any failure (the driver artifact must show all-ok)."""
+    import jax.numpy as jnp
+    from spgemm_gnn_tpu.kernels import planned as planned_mod
+    from spgemm_gnn_tpu.ops.maxk import maxk
+    from spgemm_gnn_tpu.ops.spmm import spmm
+    from spgemm_gnn_tpu.parallel.planned_sharded import (
+        shard_planned_graph, sharded_planned_aggregate)
+
+    mesh = make_mesh(n_devices)
+    rng = np.random.default_rng(seed)
+    graphs = {
+        # avg degree ~24 on 64-row shards → windowed shard plans; degree ~1
+        # on 512-row shards with a narrow window → stream shard plans (the
+        # products-regime multi-chip path)
+        "dense": (powerlaw_graph(512, 6144, seed=seed),
+                  dict(src_block=128, dst_block=128), "StackedWindowed"),
+        "sparse": (powerlaw_graph(4096, 2048, seed=seed + 1),
+                   dict(src_block=128, dst_block=128, window=16),
+                   "StackedStream"),
+    }
+    records = []
+    for name, regime, k, stream, norm in SWEEP_CONFIGS:
+        g, shard_kw, want_kind = graphs[regime]
+        sg = shard_planned_graph(g, mesh, tile_slots=128, **shard_kw)
+        kinds = sorted({type(r).__name__ for r in
+                        (sg.fwd_local, sg.bwd_local, sg.fwd_halo, sg.bwd_halo)
+                        if r is not None})
+        assert want_kind in kinds, \
+            f"{name}: expected {want_kind} shard plans, got {kinds}"
+        x0 = rng.standard_normal((g.num_nodes, dim)).astype(np.float32)
+        x0 = np.asarray(maxk(jnp.asarray(x0), k)) if k else x0
+        ct = rng.standard_normal((g.num_nodes, dim)).astype(np.float32)
+        n_pad = sg.padded_nodes
+        xp = np.zeros((n_pad, dim), np.float32)
+        xp[:g.num_nodes] = x0
+        ctp = np.zeros((n_pad, dim), np.float32)
+        ctp[:g.num_nodes] = ct
+        xd = jax.device_put(xp, sg.node_sharding())
+        ctd = jax.device_put(ctp, sg.node_sharding())
+
+        old = planned_mod.DEFAULT_STREAM
+        try:
+            planned_mod.DEFAULT_STREAM = stream
+            fwd = jax.jit(lambda xv: sharded_planned_aggregate(
+                sg, xv, norm, k=k))
+            y = np.asarray(fwd(xd))[:g.num_nodes]
+            bwd = jax.jit(jax.grad(lambda xv, c: (
+                sharded_planned_aggregate(sg, xv, norm, k=k) * c).sum()))
+            gx = np.asarray(bwd(xd, ctd))[:g.num_nodes]
+        finally:
+            planned_mod.DEFAULT_STREAM = old
+
+        # single-device oracle (plain XLA gather/segment-sum pair)
+        y_ref = np.asarray(spmm(g, jnp.asarray(x0), norm=norm))
+        g_ref = np.asarray(jax.grad(lambda xv: (
+            spmm(g, xv, norm=norm) * jnp.asarray(ct)).sum())(jnp.asarray(x0)))
+        if k:   # gradients compared on the MaxK support (bench/harness.py)
+            sup = x0 != 0
+            gx, g_ref = gx * sup, g_ref * sup
+        tol = 3e-2 if stream == "bf16x2" else 1e-4
+        err_f = float(np.max(np.abs(y - y_ref)) / (1e-6 + np.max(np.abs(y_ref))))
+        err_b = float(np.max(np.abs(gx - g_ref)) / (1e-6 + np.max(np.abs(g_ref))))
+        ok = err_f < tol and err_b < tol
+        rec = {"config": name, "n_devices": n_devices, "plan_kinds": kinds,
+               "k": k, "stream": stream, "norm": norm,
+               "fwd_relerr": err_f, "bwd_relerr": err_b, "ok": ok,
+               **sg.comm_stats(dim, k)}
+        records.append(rec)
+        assert ok, f"sweep config {name} failed: {rec}"
+    return records
