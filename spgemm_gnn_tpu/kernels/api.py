@@ -110,7 +110,6 @@ def _spgemm_bwd(dim, impl, res, g):
     if impl == "pallas":
         from spgemm_gnn_tpu.kernels import planned
         dv = planned.sspmm_backward(g, channels, src_f, dst_f, plans)
-        dv = dv.astype(values.dtype)
     elif impl == "ell":
         from spgemm_gnn_tpu.ops import ell
         dv = ell.sspmm_backward(g, channels, src_f, dst_f, plans)
@@ -126,8 +125,10 @@ def _spgemm_bwd(dim, impl, res, g):
     else:
         dv = _sspmm_backward_xla(g, channels, src_f, dst_f,
                                  t_indices, t_edge_dst)
-    # cotangents: only `values` is differentiable
-    return (dv, None, None, None, None, None, None, None, None)
+    # cotangents: only `values` is differentiable; match its dtype (the
+    # kernels accumulate in f32 even for bf16 activations — --dtype bfloat16)
+    return (dv.astype(values.dtype), None, None, None, None, None, None,
+            None, None)
 
 
 _spgemm.defvjp(_spgemm_fwd, _spgemm_bwd)

@@ -210,8 +210,12 @@ def _planned_spmm_rows(plan, x, out_rows: int) -> jax.Array:
     Dispatches on the plan kind: windowed TilePlan (transposed features,
     in-kernel slab gather) or StreamPlan (row-major features, XLA gather +
     Pallas windowed reduce)."""
+    # 16-bit model activations (--dtype bfloat16) keep 16-bit aggregation
+    # outputs: the accumulators stay f32 inside the kernels, but the [N, dim]
+    # HBM output buffer halves — the products-scale fitting margin
+    out_dt = x.dtype if x.dtype.itemsize == 2 else None
     if isinstance(plan, StreamPlan):
-        y = stream_spmm(plan, x, stream=DEFAULT_STREAM,
+        y = stream_spmm(plan, x, stream=DEFAULT_STREAM, out_dtype=out_dt,
                         interpret=_interpret())
         return y[:out_rows]
     xt = x.T                                         # [dim, N]
@@ -219,7 +223,7 @@ def _planned_spmm_rows(plan, x, out_rows: int) -> jax.Array:
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret())
-    return y[:out_rows]
+    return y[:out_rows] if out_dt is None else y[:out_rows].astype(out_dt)
 
 
 # shape_io: None for the square case (output rows = input rows, as in
@@ -235,15 +239,17 @@ def _planned_aggregate_fwd(shape_io, x, src_f, dst_f, plans):
     fwd_plan, _ = plans
     n_out = x.shape[0] if shape_io is None else shape_io[0]
     y = _planned_spmm_rows(fwd_plan, _scale(x, src_f), n_out)
-    return _scale(y, dst_f), (src_f, dst_f, plans)
+    # zero-size sentinel carries x's dtype to the backward (the kernels
+    # accumulate in f32; a bf16 primal needs a bf16 cotangent back)
+    return _scale(y, dst_f), (jnp.zeros((0,), x.dtype), src_f, dst_f, plans)
 
 
 def _planned_aggregate_bwd(shape_io, res, g):
-    src_f, dst_f, plans = res
+    x_proto, src_f, dst_f, plans = res
     _, bwd_plan = plans
     n_in = g.shape[0] if shape_io is None else shape_io[1]
     dx = _planned_spmm_rows(bwd_plan, _scale(g, dst_f), n_in)
-    return (_scale(dx, src_f), None, None, None)
+    return (_scale(dx, src_f).astype(x_proto.dtype), None, None, None)
 
 
 _planned_aggregate.defvjp(_planned_aggregate_fwd, _planned_aggregate_bwd)

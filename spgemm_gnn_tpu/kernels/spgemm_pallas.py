@@ -340,6 +340,11 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
         # the MXU passes at the cost of rounding the messages (the reference
         # runs TF32 matmuls — maxk_gnn_dgl.py:30)
         mxu = mxu_dtype or xt_padded.dtype
+        if xt_padded.dtype.itemsize != 4:
+            # the integer slab select gathers 32-bit lanes; 16-bit inputs
+            # (bf16 model activations under --dtype bfloat16) ride as f32
+            # while the MXU keeps the input's own precision
+            xt_padded = xt_padded.astype(jnp.float32)
 
     # pack (dst block, src block) into ONE prefetched int32 per chunk —
     # scalar-prefetch arrays live in SMEM (~1 MB), and two separate arrays

@@ -88,19 +88,27 @@ def _stream_call(ws, msgs, e_dst3, *, gb: int, r: int, window: int,
 
 
 def stream_spmm(plan: StreamPlan, x: jax.Array, *, acc_dtype=jnp.float32,
-                stream: str = "f32", interpret: bool = False) -> jax.Array:
+                out_dtype=None, stream: str = "f32",
+                interpret: bool = False) -> jax.Array:
     """y = A @ x over the plan; x row-major [N_src, dim] (no padding needed —
-    the gather clamps). Returns [plan.padded_dst, dim] in acc_dtype; slice to
-    the real row count outside. Node-factor norms are applied outside
-    (separable, see ops/norms.py).
+    the gather clamps). Returns [plan.padded_dst, dim] in out_dtype
+    (default acc_dtype); slice to the real row count outside. Node-factor
+    norms are applied outside (separable, see ops/norms.py).
 
     stream: "f32" (exact) or "bf16"/"bf16x2" — messages are gathered and
     contracted in bfloat16 (halves the gather+kernel HBM traffic; there is no
     in-kernel lane gather here, so no bit-packing is needed).
+
+    out_dtype=bf16 keeps the scan-carried [padded_dst, dim] output buffer at
+    half size — the single largest HBM temp at products scale (2.34 GB f32).
+    Accumulation stays f32: tiles within a group add in the kernel's f32 VMEM
+    accumulator; only group-boundary blocks take one extra bf16 rounding on
+    the carry add.
     """
     dim = x.shape[-1]
     if dim % 8:
         raise ValueError("dim must be a multiple of 8")
+    out_dtype = out_dtype or acc_dtype
     xd = x.astype(jnp.bfloat16) if stream in ("bf16", "bf16x2") \
         else x.astype(jnp.float32)
     S, Wg, GB, R = (plan.tile_slots, plan.group_tiles, plan.group_blocks,
@@ -116,9 +124,10 @@ def stream_spmm(plan: StreamPlan, x: jax.Array, *, acc_dtype=jnp.float32,
                                gb=GB, r=R, window=plan.window,
                                acc_dtype=acc_dtype, interpret=interpret)
         cur = jax.lax.dynamic_slice(y, (row0, 0), (span, dim))
-        return jax.lax.dynamic_update_slice(y, cur + partial, (row0, 0)), None
+        upd = (cur.astype(acc_dtype) + partial).astype(out_dtype)
+        return jax.lax.dynamic_update_slice(y, upd, (row0, 0)), None
 
-    y0 = jnp.zeros((plan.padded_dst, dim), acc_dtype)
+    y0 = jnp.zeros((plan.padded_dst, dim), out_dtype)
     if plan.num_groups == 1:
         y, _ = step(y0, (plan.ws_local[0], plan.row0[0],
                          plan.e_src[0], plan.e_dst[0]))

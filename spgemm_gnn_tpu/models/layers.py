@@ -9,6 +9,8 @@ otherwise through the dense XLA SpMM baseline.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 
@@ -34,20 +36,21 @@ class SAGEConv(nn.Module):
     use_norm: bool = False
     k_sparse: int | None = None
     impl: str = "auto"
+    dtype: Any = None          # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
         x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
         agg = aggregate(g, x, norm="mean", k=self.k_sparse, impl=self.impl)
-        h_neigh = nn.Dense(self.features, use_bias=False,
+        h_neigh = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                            kernel_init=xavier_uniform_relu,
                            name="fc_neigh")(agg)
-        h_self = nn.Dense(self.features, use_bias=True,
+        h_self = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
                           kernel_init=xavier_uniform_relu,
                           name="fc_self")(x)
         out = h_self + h_neigh
         if self.use_norm:
-            out = nn.LayerNorm(epsilon=1e-5)(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out)
         return out
 
 
@@ -65,7 +68,8 @@ class GraphConvAgg(nn.Module):
     def __call__(self, g, x, *, train: bool = False):
         y = aggregate(g, x, norm="gcn", k=self.k_sparse, impl=self.impl)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y + bias
+        # cast keeps bf16 activations bf16 (f32 bias would promote)
+        return y + bias.astype(y.dtype)
 
 
 class GINAgg(nn.Module):
@@ -78,4 +82,4 @@ class GINAgg(nn.Module):
     def __call__(self, g, x, *, train: bool = False):
         eps = self.param("eps", nn.initializers.zeros, ())
         agg = aggregate(g, x, norm="sum", k=self.k_sparse, impl=self.impl)
-        return (1.0 + eps) * x + agg
+        return ((1.0 + eps).astype(x.dtype) * x).astype(agg.dtype) + agg

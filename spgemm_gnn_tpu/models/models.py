@@ -8,6 +8,8 @@ and routes through the CBSR SpGEMM/SSpMM kernel path.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 
@@ -28,6 +30,12 @@ class _Base(nn.Module):
     nonlinear: str = "maxk"   # "maxk" | "relu"
     impl: str = "auto"
     remat: bool = False       # rematerialise per-layer aggregation on backward
+    # compute dtype for the hidden stack (flax mixed precision: params stay
+    # f32, activations/matmuls run in `dtype`). bf16 halves the [N, hidden]
+    # activation footprint — the difference between fitting and OOMing
+    # full-scale ogbn-products (2.45M × 256 ≈ 2.5 GB per f32 tensor) in
+    # 16 GB HBM. lin_out is left in f32 so logits/loss keep full precision.
+    dtype: Any = None
 
     def _nl(self, x):
         """The per-layer nonlinearity; returns (activated, k_for_aggregation)."""
@@ -74,13 +82,15 @@ class SAGE(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                      name="lin_in")(x)
         k = self.maxk if self.nonlinear == "maxk" else None
         for i in range(self.num_layers):
             conv = SAGEConv(self.hidden_dim, feat_drop=self.feat_drop,
                             use_norm=self.use_norm, k_sparse=k,
-                            impl=self.impl, name=f"layer{i}")
+                            impl=self.impl, dtype=self.dtype,
+                            name=f"layer{i}")
             x = self._conv(conv, g, x, train, nl=True)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
@@ -92,10 +102,12 @@ class GCN(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                              name="lin_in")(x))
         for i in range(self.num_layers):
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
             x, k = self._nl(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
@@ -103,7 +115,7 @@ class GCN(_Base):
                                         impl=self.impl, name=f"conv{i}"),
                            g, x, train)
             if self.use_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
 
@@ -114,17 +126,19 @@ class GIN(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                              name="lin_in")(x))
         for i in range(self.num_layers):
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
             x, k = self._nl(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             x = self._conv(GINAgg(k_sparse=k, impl=self.impl,
                                   name=f"conv{i}"), g, x, train)
             if self.use_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
 
@@ -136,21 +150,26 @@ class GNNRes(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                              name="lin_in")(x))
         for i in range(self.num_layers):
-            res = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            res = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                            name=f"res{i}")(x)
             x = self._conv(GraphConvAgg(self.hidden_dim, impl=self.impl,
                                         name=f"conv{i}"), g, x, train)
             if self.use_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype,
                                  epsilon=1e-5, name=f"bn{i}")(x)
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin1_{i}")(x)
             x = nn.relu(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin2_{i}")(x)
             x = nn.relu(x + res)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
@@ -166,19 +185,20 @@ class MaxKSAGE(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                      name="lin_in")(x)
         for i in range(self.num_layers):
-            h_self = nn.Dense(self.hidden_dim, use_bias=False,
+            h_self = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               kernel_init=xavier_uniform_relu,
                               name=f"fc_self{i}")(x)
-            h_neigh = nn.Dense(self.hidden_dim, use_bias=False,
+            h_neigh = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                                kernel_init=xavier_uniform_relu,
                                name=f"fc_neigh{i}")(x)
             agg = self._agg(g, h_neigh, "mean", nl=True)
             x = h_self + agg
             if self.use_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
@@ -192,22 +212,24 @@ class MaxKGCN(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                              name="lin_in")(x))
         for i in range(self.num_layers):
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             # conv body
-            x = nn.Dense(self.hidden_dim, use_bias=False,
+            x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                          kernel_init=xavier_uniform_relu,
                          name=f"conv_w{i}")(x)
             x = self._agg(g, x, "gcn", nl=True)
             bias = self.param(f"conv_b{i}", nn.initializers.zeros,
                               (self.hidden_dim,))
-            x = x + bias
+            x = x + bias.astype(x.dtype)
             if self.use_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
 
@@ -219,19 +241,21 @@ class MaxKGIN(_Base):
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
-        x = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+        x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                              name="lin_in")(x))
         for i in range(self.num_layers):
-            x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform,
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             x, k = self._nl(x)
             eps = self.param(f"eps{i}", nn.initializers.zeros, ())
             # the masked x feeds both terms, so only the aggregate remats
             agg = self._agg(g, x, "sum")
-            x = (1.0 + eps) * x + agg
+            x = ((1.0 + eps).astype(x.dtype) * x).astype(agg.dtype) + agg
             if self.use_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
         return nn.Dense(self.out_dim, kernel_init=xavier_uniform,
                         name="lin_out")(x)
 
@@ -244,13 +268,17 @@ MODELS = {"sage": SAGE, "gcn": GCN, "gin": GIN, "gnn_res": GNNRes,
 def build_model(model: str, *, hidden_dim: int, num_layers: int, out_dim: int,
                 maxk: int = 32, feat_drop: float = 0.5, use_norm: bool = False,
                 nonlinear: str = "maxk", impl: str = "auto",
-                remat: bool = False) -> nn.Module:
+                remat: bool = False, dtype: Any = None) -> nn.Module:
     """Factory mirroring the reference driver's model dispatch
-    (maxk_gnn_dgl.py:291-298)."""
+    (maxk_gnn_dgl.py:291-298). dtype: compute dtype for the hidden stack
+    (None/f32 = exact; bf16 = mixed precision, params stay f32)."""
     if model not in MODELS:
         raise ValueError(f"unknown model {model!r}; expected one of "
                          f"{sorted(MODELS)}")
+    import jax.numpy as jnp
+    if dtype is not None and jnp.dtype(dtype) == jnp.float32:
+        dtype = None     # f32 compute is the flax default; avoid extra casts
     return MODELS[model](hidden_dim=hidden_dim, num_layers=num_layers,
                          out_dim=out_dim, maxk=maxk, feat_drop=feat_drop,
                          use_norm=use_norm, nonlinear=nonlinear, impl=impl,
-                         remat=remat)
+                         remat=remat, dtype=dtype)

@@ -114,7 +114,8 @@ class Trainer:
             config.model, hidden_dim=config.hidden_dim,
             num_layers=config.hidden_layers, out_dim=dataset.num_classes,
             maxk=config.maxk, feat_drop=config.dropout, use_norm=config.norm,
-            nonlinear=config.nonlinear, impl=config.impl, remat=config.remat)
+            nonlinear=config.nonlinear, impl=config.impl, remat=config.remat,
+            dtype=dtype)
         self.tx = build_optimizer(config.w_lr, config.w_weight_decay,
                                   config.enable_lookahead)
         self._loss = loss_fn(dataset.multilabel)

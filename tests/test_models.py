@@ -121,3 +121,32 @@ def test_remat_matches_no_remat(small_graph, rng, name):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
         outs[0][1], outs[1][1])
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_bf16_mixed_precision(small_graph, rng, name):
+    """dtype=bf16 (the products-scale memory mode): params stay f32, logits
+    come out f32, relu forward tracks the f32 model to bf16 rounding, and
+    the maxk path trains (selection flips under bf16 rounding are expected,
+    so only finiteness is asserted there)."""
+    g = small_graph
+    x = _data(g, rng)
+    kw = dict(hidden_dim=HID, num_layers=LAYERS, out_dim=OUT, maxk=K,
+              feat_drop=0.0, use_norm=True, impl="xla")
+    m32 = build_model(name, nonlinear="relu", **kw)
+    v = m32.init(jax.random.PRNGKey(1), g, x, train=False)
+    m16 = build_model(name, nonlinear="relu", dtype=jnp.bfloat16, **kw)
+    # params must be shareable between the two (f32 param_dtype)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(v["params"]))
+    y32 = m32.apply(v, g, x, train=False)
+    y16 = m16.apply(v, g, x, train=False)
+    assert y16.dtype == jnp.float32          # lin_out stays full precision
+    rel = float(jnp.max(jnp.abs(y16 - y32)) / (1e-6 + jnp.max(jnp.abs(y32))))
+    assert rel < 0.05, rel
+    mk = build_model(name, nonlinear="maxk", dtype=jnp.bfloat16, **kw)
+    vk = mk.init(jax.random.PRNGKey(1), g, x, train=False)
+    grads = jax.grad(lambda p: (mk.apply(
+        p, g, x, train=True, mutable=["batch_stats"])[0] ** 2).sum())(vk)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(grads))
