@@ -1,0 +1,112 @@
+"""Locality-restoring node relabeling — plan-quality preprocessing.
+
+At full Reddit/products scale the windowed kernel's source-block reuse
+λ = deg·B/N collapses (RESULTS.md: 0.830 → 0.542 Ge/s from 29K to 233K
+nodes) because a random node order spreads each destination window's sources
+over all N/B source blocks. A locality-restoring permutation concentrates
+each window's sources into few blocks, raising chunk fill and λ without
+touching the kernels: the graph is relabeled ONCE at load time (features,
+labels and masks ride the same permutation), so the per-step cost is zero.
+
+This is the role the reference's `.warp4` metadata files play — its
+generate_meta.py warp partitioning is itself a locality schedule
+(/root/reference/README.md:84-87) — re-done as a host-side preprocessing
+pass over the CSR.
+
+Orders:
+- "degree": descending in-degree. Hubs (the rows every window touches)
+  collapse into the first few source blocks, which then stay VMEM-resident
+  for most tiles.
+- "bfs": breadth-first order from a pseudo-peripheral start; neighbors get
+  nearby ids, so a destination window's sources cluster in few blocks.
+- "rcm": reverse Cuthill–McKee (BFS with ascending-degree tie-order within
+  each level, order reversed) — the classic bandwidth-minimising order.
+- "degree-bfs": BFS whose frontier expansion is seeded and tie-ordered by
+  descending degree — hub locality AND neighborhood locality.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from spgemm_gnn_tpu.graphs.csr import Graph, from_edges
+
+ORDERS = ("degree", "bfs", "rcm", "degree-bfs")
+
+
+def _bfs_order(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
+               seed_order: np.ndarray, *, level_sort: str = "none"
+               ) -> np.ndarray:
+    """Whole-graph BFS visit order. Disconnected components are entered in
+    `seed_order`. level_sort: "none" keeps discovery order within a level,
+    "asc"/"desc" sorts each level by (in-)degree."""
+    deg = np.diff(indptr)
+    visited = np.zeros(num_nodes, bool)
+    out = np.empty(num_nodes, np.int64)
+    pos = 0
+    seed_ptr = 0
+    while pos < num_nodes:
+        while seed_ptr < num_nodes and visited[seed_order[seed_ptr]]:
+            seed_ptr += 1
+        frontier = seed_order[seed_ptr:seed_ptr + 1]
+        visited[frontier] = True
+        while len(frontier):
+            out[pos:pos + len(frontier)] = frontier
+            pos += len(frontier)
+            # expand all frontier rows at once (vectorised multi-slice)
+            lens = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
+            total = int(lens.sum())
+            if not total:
+                break
+            first = np.r_[0, np.cumsum(lens)[:-1]]
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                indptr[frontier].astype(np.int64) - first, lens)
+            neigh = indices[idx]
+            fresh = neigh[~visited[neigh]]
+            if not len(fresh):
+                break
+            prev = visited.copy()
+            visited[fresh] = True
+            nxt = np.flatnonzero(visited & ~prev)
+            if level_sort == "asc":
+                nxt = nxt[np.argsort(deg[nxt], kind="stable")]
+            elif level_sort == "desc":
+                nxt = nxt[np.argsort(-deg[nxt], kind="stable")]
+            frontier = nxt
+    return out
+
+
+def relabel_order(g: Graph, order: str = "degree-bfs") -> np.ndarray:
+    """Permutation `perm` with perm[new_id] = old_id (a visit order)."""
+    indptr = np.asarray(g.indptr, np.int64)
+    indices = np.asarray(g.indices, np.int64)
+    deg = np.diff(indptr)
+    by_deg_desc = np.argsort(-deg, kind="stable")
+    if order == "degree":
+        return by_deg_desc
+    if order == "bfs":
+        return _bfs_order(indptr, indices, g.num_nodes, by_deg_desc)
+    if order == "rcm":
+        by_deg_asc = np.argsort(deg, kind="stable")
+        return _bfs_order(indptr, indices, g.num_nodes, by_deg_asc,
+                          level_sort="asc")[::-1].copy()
+    if order == "degree-bfs":
+        return _bfs_order(indptr, indices, g.num_nodes, by_deg_desc,
+                          level_sort="desc")
+    raise ValueError(f"unknown relabel order {order!r}; expected {ORDERS}")
+
+
+def relabel_graph(g: Graph, order: str = "degree-bfs"
+                  ) -> tuple[Graph, np.ndarray]:
+    """Relabeled copy of `g` plus the permutation (perm[new] = old).
+
+    Node-row payloads must ride the same permutation: x_new = x_old[perm].
+    Results in relabeled space map back via y_old = y_new[inv] with
+    inv[perm] = arange(N) — or equivalently y_old[perm[i]] = y_new[i].
+    """
+    perm = relabel_order(g, order)
+    inv = np.empty(g.num_nodes, np.int64)
+    inv[perm] = np.arange(g.num_nodes, dtype=np.int64)
+    src = inv[np.asarray(g.indices, np.int64)]
+    dst = inv[np.asarray(g.edge_dst, np.int64)]
+    rg = from_edges(src, dst, g.num_nodes, symmetric=g.symmetric)
+    return rg, perm
