@@ -74,12 +74,18 @@ CORPUS_24_REF = {
 }
 CORPUS24_EDGE_CAP = 4_200_000
 CORPUS24_NODE_CAP = 500_000
+# the Pallas side holds full-size graphs (proven at 112.7M-edge Reddit,
+# RESULTS.md) — these caps exist only as an HBM guard for --pallas-full
+PALLAS_EDGE_CAP = 130_000_000
+PALLAS_NODE_CAP = 3_000_000
 
 
-def corpus24_standin(name: str) -> tuple[int, int, float]:
+def corpus24_standin(name: str, *, edge_cap: int | None = None,
+                     node_cap: int | None = None) -> tuple[int, int, float]:
     """(nodes, edges, scale) of the bench stand-in for a 24-suite graph."""
     n, e = CORPUS_24_REF[name]
-    s = min(1.0, CORPUS24_EDGE_CAP / e, CORPUS24_NODE_CAP / n)
+    s = min(1.0, (edge_cap or CORPUS24_EDGE_CAP) / e,
+            (node_cap or CORPUS24_NODE_CAP) / n)
     return max(int(n * s), 4_096), int(e * s), s
 
 
@@ -101,6 +107,11 @@ def main():
     ap.add_argument("--stream", default="f32", choices=["f32", "bf16x2"],
                     help="Pallas feature-stream precision (f32 default for "
                          "exact oracle comparisons)")
+    ap.add_argument("--pallas-full", action="store_true",
+                    help="corpus24: bench the PALLAS side at each graph's "
+                         "real size (HBM guard caps only); the XLA baseline "
+                         "and the validation row stay at the standin caps "
+                         "and compare per-edge (VERDICT r2 #2)")
     ap.add_argument("--op", default="spgemm",
                     choices=["spgemm", "maxk", "cbsr"],
                     help="spgemm: aggregation pair; maxk: the standalone "
@@ -193,6 +204,7 @@ def main():
                              ".bench_cache")
     for gname in args.graphs:
         meta = {}
+        g_full = None                  # --pallas-full: real-size pallas graph
         if gname in SYNTH_CORPUS:
             n, e = SYNTH_CORPUS[gname]
             from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
@@ -204,30 +216,60 @@ def main():
             meta = {"ref_nodes": CORPUS_24_REF[gname][0],
                     "ref_edges": CORPUS_24_REF[gname][1],
                     "scale": round(s, 4)}
+            if args.pallas_full:
+                nf, ef, sf = corpus24_standin(
+                    gname, edge_cap=PALLAS_EDGE_CAP, node_cap=PALLAS_NODE_CAP)
+                meta["pallas_scale"] = round(sf, 4)
+                if (nf, ef) != (n, e):
+                    g_full = _cached_powerlaw(nf, ef // 2, 0)
         else:
             from spgemm_gnn_tpu.graphs.datasets import load_dataset
             g = load_dataset(gname, args.data_path).graph
         pg = plan_graph(g, cache_dir=cache_dir)
+        pg_full = plan_graph(g_full, cache_dir=cache_dir) \
+            if g_full is not None else None
         eg = None
         if "ell" in args.impls:
             from spgemm_gnn_tpu.ops.ell import ell_graph
             eg = ell_graph(g)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
-                                            dtype=np.float32))
-        ct = jnp.asarray(rng.standard_normal((g.num_nodes, args.dim),
-                                             dtype=np.float32))
+        # inputs are generated ON DEVICE — host RNG + transfer through the
+        # ~MB/s tunnel would dominate full-size rows (bench/harness.py)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (g.num_nodes, args.dim), jnp.float32)
+        ct = jax.random.normal(jax.random.fold_in(key, 1),
+                               (g.num_nodes, args.dim), jnp.float32)
+        x_full = ct_full = None
+        if g_full is not None:
+            x_full = jax.random.normal(key, (g_full.num_nodes, args.dim),
+                                       jnp.float32)
+            ct_full = jax.random.normal(jax.random.fold_in(key, 1),
+                                        (g_full.num_nodes, args.dim),
+                                        jnp.float32)
         header = (f"# {gname}: N={g.num_nodes} E={g.num_edges} "
                   f"avg_deg={g.num_edges/g.num_nodes:.1f} "
-                  f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window}")
+                  f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window}"
+                  + (f" full: N={g_full.num_nodes} E={g_full.num_edges}"
+                     if g_full is not None else ""))
         print(header, file=sys.stderr, flush=True)
 
         for k in args.k:
             vals, ch = maxk_cbsr(x, k)
+            vals_full = ch_full = None
+            if g_full is not None:
+                vals_full, ch_full = maxk_cbsr(x_full, k)
             row = {"graph": gname, "k": k, "dim": args.dim,
                    "edges": g.num_edges, **meta}
             for impl in args.impls:
                 graph = {"pallas": pg, "ell": eg}.get(impl, g)
+                # pallas times at the real size when --pallas-full built one;
+                # validation stays at the standin size (the XLA oracle's own
+                # [E, k] buffers are why the standin caps exist)
+                t_graph, t_vals, t_ch, t_ct, t_edges = (
+                    graph, vals, ch, ct, g.num_edges)
+                if impl == "pallas" and pg_full is not None:
+                    t_graph, t_vals, t_ch, t_ct, t_edges = (
+                        pg_full, vals_full, ch_full, ct_full,
+                        g_full.num_edges)
                 try:
                     fwd = jax.jit(lambda v, c, gr: aggregate_cbsr(
                         gr, v, c, args.dim, "mean", impl))
@@ -239,23 +281,24 @@ def main():
                                     (1e-6 + jnp.max(jnp.abs(y0))))
                         row[f"{impl}_err"] = round(err, 6)
 
-                    def fstep(v, _f=fwd, _g=graph):
-                        return v + _f(v, ch, _g)[:, :k] * 1e-9
+                    def fstep(v, _f=fwd, _g=t_graph, _c=t_ch, _k=k):
+                        return v + _f(v, _c, _g)[:, :_k] * 1e-9
 
-                    t_f = time_chained(fstep, vals, args.iters)
+                    t_f = time_chained(fstep, t_vals, args.iters)
 
                     bwd = jax.jit(jax.grad(lambda v, c, gr, co: (
                         aggregate_cbsr(gr, v, c, args.dim, "mean", impl)
                         * co).sum()))
 
-                    def bstep(v, _b=bwd, _g=graph):
-                        return v + _b(v, ch, _g, ct) * 1e-9
+                    def bstep(v, _b=bwd, _g=t_graph, _c=t_ch, _co=t_ct):
+                        return v + _b(v, _c, _g, _co) * 1e-9
 
-                    t_b = time_chained(bstep, vals, args.iters)
+                    t_b = time_chained(bstep, t_vals, args.iters)
                     row[f"{impl}_fwd_ms"] = round(t_f * 1e3, 3)
                     row[f"{impl}_bwd_ms"] = round(t_b * 1e3, 3)
+                    row[f"{impl}_edges"] = t_edges
                     row[f"{impl}_gedges"] = round(
-                        2 * g.num_edges / (t_f + t_b) / 1e9, 4)
+                        2 * t_edges / (t_f + t_b) / 1e9, 4)
                 except Exception as exc:
                     row[f"{impl}_error"] = f"{type(exc).__name__}: {exc}"[:120]
             if args.json:
