@@ -269,9 +269,13 @@ class Trainer:
         history: list[EpochRecord] = []
 
         t_start = time.perf_counter()
+        t_steady = None   # wall clock after the first (compiling) step
         for epoch in range(start_epoch, epochs):
             rng, dr = jax.random.split(rng)
             state, loss = self.train_step(state, dr)
+            if epoch == start_epoch:
+                jax.block_until_ready(loss)
+                t_steady = time.perf_counter()
             if cfg.eval_every and (epoch % cfg.eval_every == 0
                                    or epoch == epochs - 1):
                 tr, va, te = self.eval_step(state["params"],
@@ -301,6 +305,14 @@ class Trainer:
                                      is_best=(best_epoch == epoch))
         jax.block_until_ready(state["params"])
         wall = time.perf_counter() - t_start
+        # steady-state epoch time: everything after the first (compiling)
+        # step, eval/checkpoint cadence included — the number RESULTS quotes
+        steady = ((time.perf_counter() - t_steady)
+                  / max(epochs - start_epoch - 1, 1)
+                  if t_steady is not None and epochs - start_epoch > 1
+                  else None)
+        if steady is not None:
+            self.logger.info("Steady-state epoch time: %.3f s", steady)
         if cfg.checkpoint_every:
             ckpt.save_checkpoint(cfg.path, state, epochs)
             if best_state is not None:
@@ -313,6 +325,7 @@ class Trainer:
             "best_epoch": best_epoch,
             "history": history,
             "wall_time_s": wall,
+            "steady_epoch_s": steady,
             "final_state": state,
         }
 

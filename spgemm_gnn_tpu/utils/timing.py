@@ -41,7 +41,9 @@ def measure_aggregation_fraction(trainer, iters: int = 4) -> dict[str, Any]:
     dim = cfg.hidden_dim
     k = cfg.maxk if cfg.nonlinear == "maxk" else None
     layers = cfg.hidden_layers
-    x0 = jnp.zeros((g.num_nodes, dim), jnp.float32)
+    # the probe rides the configured compute dtype — an extra f32 [N, dim]
+    # on top of the live training state OOMs at products scale under bf16
+    x0 = jnp.zeros((g.num_nodes, dim), jnp.dtype(cfg.dtype))
 
     def agg_loss(x, g):
         h = x
