@@ -1,0 +1,82 @@
+"""CBSR-edge-gather stream forward A/B (VERDICT r2 #5) — measure, don't
+analyse: dense-row stream vs [E, k]-gather stream at low-degree corpus
+points, on the claimed device.
+
+  timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+    python scripts/stream_cbsr_probe.py --scale sparse --k 32
+
+Prints one JSON line per (scale, k, variant) with the chained forward time
+and validation error vs the dense-row stream.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", nargs="*", default=["sparse"])
+    ap.add_argument("--k", nargs="*", type=int, default=[32])
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bench import SCALES
+    from spgemm_gnn_tpu.bench.harness import _cached_powerlaw, time_chained
+    from spgemm_gnn_tpu.graphs.stream_tiles import stream_plan_for_graph
+    from spgemm_gnn_tpu.kernels.stream_pallas import (
+        stream_spmm, stream_spmm_cbsr)
+    from spgemm_gnn_tpu.ops.maxk import maxk, cbsr_from_masked, pack_channels
+
+    for scale in args.scale:
+        n_nodes, n_edges = SCALES[scale]
+        g = _cached_powerlaw(n_nodes, n_edges // 2, 0)
+        plan = stream_plan_for_graph(g)
+        interp = jax.default_backend() != "tpu"   # CPU smoke: interpret mode
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, (g.num_nodes, args.dim), jnp.float32)
+        for k in args.k:
+            xk = maxk(x0, k)
+            vals, ch = cbsr_from_masked(xk, k)
+            pch = pack_channels(ch)
+            n = g.num_nodes
+
+            f_dense = jax.jit(lambda xv: stream_spmm(
+                plan, xv, stream=args.stream, interpret=interp)[:n])
+            f_cbsr = jax.jit(lambda v, p: stream_spmm_cbsr(
+                plan, v, p, args.dim, stream=args.stream,
+                interpret=interp)[:n])
+
+            y_d = f_dense(xk)
+            y_c = f_cbsr(vals, pch)
+            err = float(jnp.max(jnp.abs(y_c - y_d))
+                        / (1e-6 + jnp.max(jnp.abs(y_d))))
+
+            t_d = time_chained(lambda xv: xv + f_dense(xv) * 1e-9, xk,
+                               args.iters)
+            t_c = time_chained(
+                lambda v: v + f_cbsr(v, pch)[:, :k] * 1e-9, vals, args.iters)
+            rec = {"scale": scale, "edges": g.num_edges, "k": k,
+                   "dim": args.dim, "stream": args.stream,
+                   "fill": round(float(plan.fill), 3),
+                   "window": plan.window,
+                   "dense_ms": round(t_d * 1e3, 2),
+                   "cbsr_ms": round(t_c * 1e3, 2),
+                   "dense_gedges": round(g.num_edges / t_d / 1e9, 4),
+                   "cbsr_gedges": round(g.num_edges / t_c / 1e9, 4),
+                   "cbsr_vs_dense": round(t_d / t_c, 3),
+                   "err_vs_dense": err}
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

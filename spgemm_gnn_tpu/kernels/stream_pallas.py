@@ -87,6 +87,110 @@ def _stream_call(ws, msgs, e_dst3, *, gb: int, r: int, window: int,
     )(ws, msgs, e_dst3)
 
 
+def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
+                        gv_ref, gp_ref, e_dst_ref,   # VMEM blocks
+                        out_ref, *, window: int, k: int, acc_dtype,
+                        mxu_dtype):
+    """CBSR-edge-gather variant: per 128-edge chunk, densify the gathered
+    [C, k] values + packed channels into [C, dim] messages on the VPU
+    (k one-hot select steps — the _densify_rows_kernel pattern), then the
+    same one-hot MXU window reduction as _stream_kernel. Padding slots carry
+    node 0's real CBSR row; they are neutralised by the dst one-hot (rel < 0
+    never matches), exactly as in the dense-row kernel."""
+    i = pl.program_id(0)
+
+    @pl.when(_first_visit(i, ws_ref))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    r, dim = out_ref.shape[0], out_ref.shape[1]
+    slots = e_dst_ref.shape[-1]
+    for ci in range(slots // CHUNK):
+        lo = ci * CHUNK
+        rows = e_dst_ref[0, 0, lo:lo + CHUNK]
+        w0 = jnp.maximum(jnp.minimum((rows[0] // 8) * 8, r - window), 0)
+        w0 = pl.multiple_of(w0, 8)
+        rel = rows - w0
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
+                  == rel[None, :]).astype(mxu_dtype)
+        vals = gv_ref[0, lo:lo + CHUNK, :]        # [C, k_pad]
+        pch = gp_ref[0, lo:lo + CHUNK, :]         # [C, kp] packed uint8x4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, dim), 1)
+        msgs = jnp.zeros((CHUNK, dim), mxu_dtype)
+        for j in range(k):
+            cj = (pch[:, j // 4:j // 4 + 1] >> (8 * (j % 4))) & 0xFF
+            vj = vals[:, j:j + 1].astype(mxu_dtype)
+            msgs = msgs + (lane == cj).astype(mxu_dtype) * vj
+        prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        contrib = jnp.dot(onehot, msgs, precision=prec,
+                          preferred_element_type=acc_dtype)
+        cur = out_ref[pl.ds(w0, window), :]
+        out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
+
+
+def stream_spmm_cbsr(plan: StreamPlan, values: jax.Array,
+                     pchannels: jax.Array, dim: int, *,
+                     acc_dtype=jnp.float32, out_dtype=None,
+                     stream: str = "bf16x2",
+                     interpret: bool = False) -> jax.Array:
+    """y = A @ cbsr(values, channels) over the plan — the edge-gather
+    formulation (VERDICT r2 #5): the per-edge gather moves k values + k/4
+    packed channel words per edge (~96 B at k=32) instead of dim dense lanes
+    (512 B), trading gather/stream HBM traffic for k in-kernel one-hot
+    densify steps per chunk.
+
+    values: [N, k] (any float dtype), pchannels: [N, ceil(k/4)] int32 from
+    ops.maxk.pack_channels. Returns [plan.padded_dst, dim].
+    """
+    n, k = values.shape
+    out_dtype = out_dtype or acc_dtype
+    vd = values.astype(jnp.bfloat16) if stream in ("bf16", "bf16x2") \
+        else values.astype(jnp.float32)
+    S, Wg, GB, R = (plan.tile_slots, plan.group_tiles, plan.group_blocks,
+                    plan.dst_block)
+    kp = pchannels.shape[1]
+    span = GB * R
+    kernel = functools.partial(_stream_cbsr_kernel, window=plan.window, k=k,
+                               acc_dtype=acc_dtype, mxu_dtype=vd.dtype)
+
+    def call(ws, gv, gp, e_dst3):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Wg,),
+            in_specs=[
+                pl.BlockSpec((1, S, gv.shape[-1]), lambda i, w: (i, 0, 0)),
+                pl.BlockSpec((1, S, kp), lambda i, w: (i, 0, 0)),
+                pl.BlockSpec((1, 1, S), lambda i, w: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((R, dim), lambda i, w: (w[i], 0)),
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((GB * R, dim), acc_dtype),
+            interpret=interpret,
+        )(ws, gv, gp, e_dst3)
+
+    def step(y, grp):
+        ws, row0, esrc, edst = grp
+        flat = esrc.reshape(-1)
+        gv = jnp.take(vd, flat, axis=0).reshape(Wg, S, k)
+        gp = jnp.take(pchannels, flat, axis=0).reshape(Wg, S, kp)
+        partial = call(ws, gv, gp, edst.astype(jnp.int32).reshape(Wg, 1, S))
+        cur = jax.lax.dynamic_slice(y, (row0, 0), (span, dim))
+        upd = (cur.astype(acc_dtype) + partial).astype(out_dtype)
+        return jax.lax.dynamic_update_slice(y, upd, (row0, 0)), None
+
+    y0 = jnp.zeros((plan.padded_dst, dim), out_dtype)
+    if plan.num_groups == 1:
+        y, _ = step(y0, (plan.ws_local[0], plan.row0[0],
+                         plan.e_src[0], plan.e_dst[0]))
+    else:
+        y, _ = jax.lax.scan(
+            step, y0, (plan.ws_local, plan.row0, plan.e_src, plan.e_dst))
+    return y
+
+
 def stream_spmm(plan: StreamPlan, x: jax.Array, *, acc_dtype=jnp.float32,
                 out_dtype=None, stream: str = "f32",
                 interpret: bool = False) -> jax.Array:
