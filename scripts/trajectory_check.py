@@ -33,6 +33,8 @@ def run(args) -> None:
     from spgemm_gnn_tpu.train.config import from_args
     from spgemm_gnn_tpu.train.loop import Trainer
     import jax
+    if args.matmul:
+        jax.config.update("jax_default_matmul_precision", args.matmul)
 
     cfg = from_args([
         "--dataset", "reddit", "--synthetic",
@@ -41,7 +43,7 @@ def run(args) -> None:
         "--hidden_layers", "3", "--hidden_dim", "256", "--norm",
         "--epochs", str(args.epochs), "--eval_every", "1",
         "--dropout", "0.0",               # determinism across backends
-        "--seed", "97",
+        "--seed", str(args.seed),
         "--impl", args.impl, "--stream", args.stream,
         "--path", "/tmp/traj_run",
     ])
@@ -53,6 +55,8 @@ def run(args) -> None:
         "stream": args.stream,
         "epochs": args.epochs,
         "scale": args.scale,
+        "seed": args.seed,
+        "matmul": args.matmul,
         "history": [vars(r) for r in results["history"]],
         "best_test_accuracy": results["best_test_accuracy"],
     }
@@ -120,6 +124,12 @@ def main(argv=None):
     r.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"])
     r.add_argument("--epochs", type=int, default=40)
     r.add_argument("--scale", type=float, default=0.02)
+    r.add_argument("--seed", type=int, default=97)
+    r.add_argument("--matmul", default=None,
+                   choices=["default", "high", "highest"],
+                   help="jax default matmul precision — 'highest' isolates "
+                        "kernel numerics from the Dense layers' MXU bf16 "
+                        "truncation (the 2e-6-class gate)")
     r.add_argument("--out", required=True)
     c = sub.add_parser("compare")
     c.add_argument("a")

@@ -84,13 +84,18 @@ def _bench_inputs(n_nodes: int, n_edges: int, dim: int, k: int, seed: int,
 
 
 def bench_impl(g, pg, xk, ct, dim: int, k: int, norm: str, impl: str,
-               iters: int = 8) -> dict[str, float]:
+               iters: int = 8, graph_override=None) -> dict[str, float]:
     """Time fwd/bwd of the model-level aggregate() for one implementation.
 
     Graph/cotangent are jit arguments, not closures (closures embed as HLO
-    constants — breaks the remote-compile TPU path)."""
+    constants — breaks the remote-compile TPU path). graph_override supplies
+    a prepared structure for impls that need one (e.g. an ops.ell.ELLGraph
+    for impl='ell')."""
     from spgemm_gnn_tpu.kernels.api import aggregate
-    graph = pg if impl == "pallas" else g
+    if graph_override is not None:
+        graph = graph_override
+    else:
+        graph = pg if impl == "pallas" else g
 
     fwd = jax.jit(lambda xv, gr: aggregate(gr, xv, norm=norm, k=k, impl=impl))
 
