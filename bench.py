@@ -43,6 +43,10 @@ SCALES = {
     "full": (232_965, 114_000_000),   # Reddit-scale
     # products-regime density: the stream-kernel path (avg degree ~25)
     "sparse": (200_000, 5_000_000),
+    # the ELL-tie regime (deg 100) and products density (deg 50) — probe
+    # scales for the CBSR-edge-gather / beat-ELL work (VERDICT r2 #4/#5)
+    "mid-dense": (60_000, 6_000_000),
+    "deg50": (60_000, 3_000_000),
 }
 
 # measured v5e rooflines (docs/DESIGN.md): streaming elementwise HBM BW and
