@@ -195,7 +195,7 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
             # fast path: aggregation is linear in x, so fwd/bwd are the plan
             # kernel and its transpose — no CBSR extraction round-trip. MaxK's
             # own VJP applies the top-k mask to the dense cotangent.
-            return planned_aggregate(g, x, norm)
+            return planned_aggregate(g, x, norm, k=k)
         g = g.graph
     if k is None or k >= x.shape[-1]:
         return _dense_spmm(g, x, norm)

@@ -209,18 +209,31 @@ def sspmm_backward(g_ct, channels, src_f, dst_f, plans,
 import functools as _functools
 
 
-def _planned_spmm_rows(plan, x, out_rows: int) -> jax.Array:
+def _planned_spmm_rows(plan, x, out_rows: int,
+                       k_sparse: int | None = None) -> jax.Array:
     """A · x over the plan, output sliced to out_rows (the plan's row space
     may be rectangular: halo plans map [(D-1)·M] sources → [nps] rows).
 
     Dispatches on the plan kind: windowed TilePlan (transposed features,
     in-kernel slab gather) or StreamPlan (row-major features, XLA gather +
-    Pallas windowed reduce)."""
+    Pallas windowed reduce). k_sparse asserts x has ≤ k nonzeros per row
+    (MaxK output — possibly dropout-thinned); the stream forward then
+    compacts on-chip and rides the CBSR-edge-gather kernel (k values + k/4
+    packed channel words per edge instead of dim dense lanes), bit-identical
+    output."""
     # 16-bit model activations (--dtype bfloat16) keep 16-bit aggregation
     # outputs: the accumulators stay f32 inside the kernels, but the [N, dim]
     # HBM output buffer halves — the products-scale fitting margin
     out_dt = x.dtype if x.dtype.itemsize == 2 else None
     if isinstance(plan, StreamPlan):
+        if k_sparse is not None and k_sparse < x.shape[-1]:
+            from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm_cbsr
+            from spgemm_gnn_tpu.ops.maxk import cbsr_compact, pack_channels
+            vals, ch = cbsr_compact(x, k_sparse)
+            y = stream_spmm_cbsr(plan, vals, pack_channels(ch), x.shape[-1],
+                                 stream=DEFAULT_STREAM, out_dtype=out_dt,
+                                 interpret=_interpret())
+            return y[:out_rows]
         y = stream_spmm(plan, x, stream=DEFAULT_STREAM, out_dtype=out_dt,
                         interpret=_interpret())
         return y[:out_rows]
@@ -232,25 +245,31 @@ def _planned_spmm_rows(plan, x, out_rows: int) -> jax.Array:
     return y[:out_rows] if out_dt is None else y[:out_rows].astype(out_dt)
 
 
-# shape_io: None for the square case (output rows = input rows, as in
-# single-chip model aggregation), or a static (n_out, n_in) pair for
-# rectangular plan pairs (the multi-chip halo path: fwd maps n_in halo
-# sources → n_out local rows; bwd maps n_out rows → n_in halo cotangents).
+# static = (shape_io, k_sparse). shape_io: None for the square case (output
+# rows = input rows, as in single-chip model aggregation), or a static
+# (n_out, n_in) pair for rectangular plan pairs (the multi-chip halo path:
+# fwd maps n_in halo sources → n_out local rows; bwd maps n_out rows → n_in
+# halo cotangents). k_sparse: the MaxK k when x is known top-k-sparse — the
+# stream forward then rides the CBSR-edge-gather kernel; the backward is
+# k-agnostic (the incoming cotangent is dense).
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _planned_aggregate(shape_io, x, src_f, dst_f, plans):
-    return _planned_aggregate_fwd(shape_io, x, src_f, dst_f, plans)[0]
+def _planned_aggregate(static, x, src_f, dst_f, plans):
+    return _planned_aggregate_fwd(static, x, src_f, dst_f, plans)[0]
 
 
-def _planned_aggregate_fwd(shape_io, x, src_f, dst_f, plans):
+def _planned_aggregate_fwd(static, x, src_f, dst_f, plans):
+    shape_io, k_sparse = static
     fwd_plan, _ = plans
     n_out = x.shape[0] if shape_io is None else shape_io[0]
-    y = _planned_spmm_rows(fwd_plan, _scale(x, src_f), n_out)
+    y = _planned_spmm_rows(fwd_plan, _scale(x, src_f), n_out,
+                           k_sparse=k_sparse)
     # zero-size sentinel carries x's dtype to the backward (the kernels
     # accumulate in f32; a bf16 primal needs a bf16 cotangent back)
     return _scale(y, dst_f), (jnp.zeros((0,), x.dtype), src_f, dst_f, plans)
 
 
-def _planned_aggregate_bwd(shape_io, res, g):
+def _planned_aggregate_bwd(static, res, g):
+    shape_io, _ = static
     x_proto, src_f, dst_f, plans = res
     _, bwd_plan = plans
     n_in = g.shape[0] if shape_io is None else shape_io[1]
@@ -268,13 +287,18 @@ def planned_pair_apply(x: jax.Array, plans, n_out: int,
     Supports rectangular pairs: fwd maps x's rows → n_out rows; bwd (the
     transpose plan) maps n_out rows → x's rows. Used by the multi-chip halo
     path (parallel/planned_sharded.py)."""
-    return _planned_aggregate((n_out, x.shape[0]), x, src_f, dst_f, plans)
+    return _planned_aggregate(((n_out, x.shape[0]), None), x, src_f, dst_f,
+                              plans)
 
 
-def planned_aggregate(pg: PlannedGraph, x: jax.Array,
-                      norm: str = "sum") -> jax.Array:
-    """y = A_w · x through the Pallas kernel pair (fwd + transpose-bwd)."""
+def planned_aggregate(pg: PlannedGraph, x: jax.Array, norm: str = "sum",
+                      k: int | None = None) -> jax.Array:
+    """y = A_w · x through the Pallas kernel pair (fwd + transpose-bwd).
+
+    k (optional) asserts x is MaxK top-k sparse per row; stream-plan
+    forwards then use the CBSR-edge-gather kernel (bit-identical, ~dim/k×
+    less gather traffic)."""
     from spgemm_gnn_tpu.ops.norms import node_factors
     src_f, dst_f = node_factors(pg, norm)
-    return _planned_aggregate(None, x, src_f, dst_f,
+    return _planned_aggregate((None, k), x, src_f, dst_f,
                               (pg.fwd_plan, pg.bwd_plan))

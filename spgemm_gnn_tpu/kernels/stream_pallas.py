@@ -105,6 +105,20 @@ def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
 
     r, dim = out_ref.shape[0], out_ref.shape[1]
     slots = e_dst_ref.shape[-1]
+    # densify the WHOLE tile's [S, k] values into one [S, dim] message
+    # buffer first (k one-hot steps on a single accumulator): hoisting this
+    # out of the chunk loop keeps scoped-VMEM liveness at one buffer instead
+    # of slots/128 unrolled select chains (which blew the 16 MB stack limit)
+    vals = gv_ref[0]                              # [S, k_pad]
+    pch = gp_ref[0]                               # [S, kp] packed uint8x4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (slots, dim), 1)
+    msgs_t = jnp.zeros((slots, dim), mxu_dtype)
+    for j in range(k):
+        cj = (pch[:, j // 4:j // 4 + 1] >> (8 * (j % 4))) & 0xFF
+        vj = vals[:, j:j + 1].astype(mxu_dtype)
+        msgs_t = msgs_t + (lane == cj).astype(mxu_dtype) * vj
+    prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     for ci in range(slots // CHUNK):
         lo = ci * CHUNK
         rows = e_dst_ref[0, 0, lo:lo + CHUNK]
@@ -113,17 +127,7 @@ def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
         rel = rows - w0
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
-        vals = gv_ref[0, lo:lo + CHUNK, :]        # [C, k_pad]
-        pch = gp_ref[0, lo:lo + CHUNK, :]         # [C, kp] packed uint8x4
-        lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, dim), 1)
-        msgs = jnp.zeros((CHUNK, dim), mxu_dtype)
-        for j in range(k):
-            cj = (pch[:, j // 4:j // 4 + 1] >> (8 * (j % 4))) & 0xFF
-            vj = vals[:, j:j + 1].astype(mxu_dtype)
-            msgs = msgs + (lane == cj).astype(mxu_dtype) * vj
-        prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        contrib = jnp.dot(onehot, msgs, precision=prec,
+        contrib = jnp.dot(onehot, msgs_t[lo:lo + CHUNK, :], precision=prec,
                           preferred_element_type=acc_dtype)
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
