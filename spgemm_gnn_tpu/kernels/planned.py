@@ -147,6 +147,14 @@ def _interpret() -> bool:
 # model stack; per-call override via planned_spmm(stream=...).
 DEFAULT_STREAM = "f32"
 
+# CBSR-edge-gather stream forward: measured NEGATIVE on the v5e (VERDICT r2
+# #5, scripts/stream_cbsr_probe.py 2026-08-19): 0.58x the dense-row stream
+# at k=8 and 0.29x at k=32 across sparse/deg50/mid-dense — TPU row gathers
+# are tile-granular so thin [E, k] rows don't cut gather cost, and the
+# k-step in-kernel densify adds pure VPU work. Kept behind this flag as the
+# measured artifact; the dense-row stream is the production path.
+STREAM_CBSR_FORWARD = False
+
 
 def _scale(x, f):
     return x if f is None else x * f[:, None].astype(x.dtype)
@@ -165,16 +173,18 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
     n = values.shape[0]
     v = values if src_f is None else values * src_f[:, None].astype(values.dtype)
     if isinstance(fwd_plan, StreamPlan):
-        # CBSR-edge-gather forward (VERDICT r2 #5): gather k values + packed
-        # channels per edge and densify in-kernel — skips the [N, dim]
-        # densify pass entirely and moves ~dim/k× less gather traffic.
-        # Bit-identical to densify_rows + stream_spmm (same adds, same
-        # order; tests/test_stream_kernel.py).
-        from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm_cbsr
-        from spgemm_gnn_tpu.ops.maxk import pack_channels
-        y = stream_spmm_cbsr(fwd_plan, v, pack_channels(channels), dim,
-                             stream=DEFAULT_STREAM,
-                             interpret=_interpret())[:n]
+        if STREAM_CBSR_FORWARD:   # measured-negative variant (flag above)
+            from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm_cbsr
+            from spgemm_gnn_tpu.ops.maxk import pack_channels
+            y = stream_spmm_cbsr(fwd_plan, v, pack_channels(channels), dim,
+                                 stream=DEFAULT_STREAM,
+                                 interpret=_interpret())[:n]
+            return _scale(y, dst_f)
+        from spgemm_gnn_tpu.kernels.spgemm_pallas import densify_rows
+        x = densify_rows(v, channels, dim, out_dtype=stream_dtype,
+                         interpret=_interpret())
+        y = stream_spmm(fwd_plan, x, stream=DEFAULT_STREAM,
+                        interpret=_interpret())[:n]
         return _scale(y, dst_f)
     xt = densify_transpose(v, channels, dim, fwd_plan.padded_src,
                            out_dtype=stream_dtype, interpret=_interpret())
@@ -226,7 +236,8 @@ def _planned_spmm_rows(plan, x, out_rows: int,
     # HBM output buffer halves — the products-scale fitting margin
     out_dt = x.dtype if x.dtype.itemsize == 2 else None
     if isinstance(plan, StreamPlan):
-        if k_sparse is not None and k_sparse < x.shape[-1]:
+        if (STREAM_CBSR_FORWARD and k_sparse is not None
+                and k_sparse < x.shape[-1]):   # measured-negative variant
             from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm_cbsr
             from spgemm_gnn_tpu.ops.maxk import cbsr_compact, pack_channels
             vals, ch = cbsr_compact(x, k_sparse)
