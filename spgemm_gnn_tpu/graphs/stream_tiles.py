@@ -76,14 +76,16 @@ class StreamPlan:
 
 def auto_stream_window(num_rows: int, num_edges: int,
                        dst_block: int = 4096) -> int:
-    """Destination-row window sized to the expected span of a full 128-edge
-    chunk (≈ CHUNK / avg_degree rows), doubled for degree variance."""
+    """Destination-row window sized so a full 128-edge chunk fits even when
+    it STARTS at the end of an 8-aligned bucket: 8 rows of start slack plus
+    2× the expected chunk span (CHUNK / avg_degree) for degree variance.
+    Measured (deg 50): the old 2×span rule gave RW=8 → chunk fill 0.84;
+    8 + 2×span gives RW=16 → 0.9998, and windows ≤ 32 are free in the
+    stream kernel (the one-hot stays a single MXU pass)."""
     deg = num_edges / max(num_rows, 1)
     span = CHUNK / max(deg, 0.5)
-    rw = 8
-    while rw < 2 * span and rw < 256:
-        rw *= 2
-    return min(rw, dst_block)
+    rw = int(-(-(8 + 2 * span) // 8) * 8)
+    return max(8, min(rw, 256, dst_block))
 
 
 def predicted_windowed_fill(num_rows: int, num_edges: int, src_block: int,
@@ -121,10 +123,16 @@ def build_stream_plan(indptr: np.ndarray, indices: np.ndarray, num_rows: int,
         raise ValueError("window must be a positive multiple of 8 ≤ dst_block")
     n_blocks = max(-(-num_rows // R), 1)
     if group_blocks is None:
-        # blocks whose expected edge count matches the group's tile budget,
-        # capped so the [GB·R, dim] partial stays a modest HBM buffer
-        gb = int(round(group_tiles * S / max(R * deg, 1.0)))
-        group_blocks = max(1, min(gb, max(65536 // R, 1), n_blocks))
+        # block range sized to the group's expected edge span PLUS 2 blocks
+        # of slack, capped so the [GB·R, dim] partial stays a modest HBM
+        # buffer. Slack matters twice over: with GB=1 every block's LAST
+        # group padded to Wg (25% of all tile slots at deg-50 products
+        # density), and even GB=2 still range-cuts where power-law tail
+        # blocks run sparse. Measured at deg 50: GB=1 → fill 0.63,
+        # GB=2 → 0.75, GB=4 → 0.94 (with the matching auto window).
+        gb = int(-(-group_tiles * S // max(R * deg, 1.0))) + 2
+        group_blocks = max(min(2, n_blocks),
+                           min(gb, max(65536 // R, 1), n_blocks))
     GB = group_blocks
 
     # native fast path (bit-identical output; tests/test_native.py)

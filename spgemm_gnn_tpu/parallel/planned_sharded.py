@@ -273,10 +273,13 @@ def _build_role(csrs: list[tuple[np.ndarray, np.ndarray]], rows: int,
                  for p, i in csrs]
         return _stack_windowed(plans, mesh, axis)
     rw = auto_stream_window(rows, int(avg_e), dst_block)
-    # common group-range size so partials stack (see build_stream_plan)
+    # common group-range size so partials stack — same auto rule as
+    # build_stream_plan (expected span + 2 blocks of slack, floored at 2)
     deg = avg_e / max(rows, 1)
-    gb = max(1, min(int(round(256 * tile_slots / max(dst_block * deg, 1.0))),
-                    max(65536 // dst_block, 1), max(-(-rows // dst_block), 1)))
+    n_blk = max(-(-rows // dst_block), 1)
+    gb = max(min(2, n_blk),
+             min(int(-(-256 * tile_slots // max(dst_block * deg, 1.0))) + 2,
+                 max(65536 // dst_block, 1), n_blk))
     plans = [build_stream_plan(p, i, rows, tile_slots=tile_slots,
                                dst_block=dst_block, window=rw,
                                group_blocks=gb, num_src_nodes=num_src)
