@@ -91,9 +91,16 @@ def cached_plan(cache_dir: str | None, key: str, builder):
     return plan
 
 
+# bump when an AUTO-geometry heuristic changes: cache keys carry the given
+# parameters (often None = auto), so a heuristic change would otherwise keep
+# serving plans built under the old rules. v2: stream start-slack windows +
+# block-straddling groups (round 3).
+PLANNER_VERSION = 2
+
+
 def plan_key(fingerprint: str, direction: str, kind: str, **params) -> str:
     """Deterministic cache key from fingerprint + direction + parameters."""
     tail = "_".join(f"{k}{params[k]}" for k in sorted(params)
                     if params[k] is not None)
-    return f"{fingerprint}_{direction}_{kind}_{tail}" if tail else \
-        f"{fingerprint}_{direction}_{kind}"
+    head = f"{fingerprint}_v{PLANNER_VERSION}_{direction}_{kind}"
+    return f"{head}_{tail}" if tail else head
