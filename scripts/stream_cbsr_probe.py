@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"])
+    ap.add_argument("--dst-block", type=int, default=None,
+                    help="stream-plan R override (smaller = less scoped "
+                         "VMEM for the out block; k=32 needs <=2048)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +43,9 @@ def main():
     for scale in args.scale:
         n_nodes, n_edges = SCALES[scale]
         g = _cached_powerlaw(n_nodes, n_edges // 2, 0)
-        plan = stream_plan_for_graph(g)
+        plan_kw = {} if args.dst_block is None else dict(
+            dst_block=args.dst_block)
+        plan = stream_plan_for_graph(g, **plan_kw)
         interp = jax.default_backend() != "tpu"   # CPU smoke: interpret mode
         key = jax.random.PRNGKey(0)
         x0 = jax.random.normal(key, (g.num_nodes, args.dim), jnp.float32)
@@ -57,24 +62,28 @@ def main():
                 interpret=interp)[:n])
 
             y_d = f_dense(xk)
-            y_c = f_cbsr(vals, pch)
-            err = float(jnp.max(jnp.abs(y_c - y_d))
-                        / (1e-6 + jnp.max(jnp.abs(y_d))))
-
             t_d = time_chained(lambda xv: xv + f_dense(xv) * 1e-9, xk,
                                args.iters)
-            t_c = time_chained(
-                lambda v: v + f_cbsr(v, pch)[:, :k] * 1e-9, vals, args.iters)
             rec = {"scale": scale, "edges": g.num_edges, "k": k,
                    "dim": args.dim, "stream": args.stream,
                    "fill": round(float(plan.fill), 3),
-                   "window": plan.window,
+                   "window": plan.window, "gb": plan.group_blocks,
                    "dense_ms": round(t_d * 1e3, 2),
-                   "cbsr_ms": round(t_c * 1e3, 2),
-                   "dense_gedges": round(g.num_edges / t_d / 1e9, 4),
-                   "cbsr_gedges": round(g.num_edges / t_c / 1e9, 4),
-                   "cbsr_vs_dense": round(t_d / t_c, 3),
-                   "err_vs_dense": err}
+                   "dense_gedges": round(g.num_edges / t_d / 1e9, 4)}
+            try:   # the measured-negative variant; may also exceed scoped
+                # VMEM at default geometry — the dense numbers must survive
+                y_c = f_cbsr(vals, pch)
+                rec["err_vs_dense"] = float(
+                    jnp.max(jnp.abs(y_c - y_d))
+                    / (1e-6 + jnp.max(jnp.abs(y_d))))
+                t_c = time_chained(
+                    lambda v: v + f_cbsr(v, pch)[:, :k] * 1e-9, vals,
+                    args.iters)
+                rec["cbsr_ms"] = round(t_c * 1e3, 2)
+                rec["cbsr_gedges"] = round(g.num_edges / t_c / 1e9, 4)
+                rec["cbsr_vs_dense"] = round(t_d / t_c, 3)
+            except Exception as exc:
+                rec["cbsr_error"] = f"{type(exc).__name__}"[:60]
             print(json.dumps(rec), flush=True)
 
 

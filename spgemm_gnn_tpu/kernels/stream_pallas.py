@@ -89,8 +89,8 @@ def _stream_call(ws, msgs, e_dst3, *, gb: int, r: int, window: int,
 
 def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
                         gv_ref, gp_ref, e_dst_ref,   # VMEM blocks
-                        out_ref, *, window: int, k: int, acc_dtype,
-                        mxu_dtype):
+                        out_ref, msgs_ref, *, window: int, k: int,
+                        acc_dtype, mxu_dtype):
     """CBSR-edge-gather variant: per 128-edge chunk, densify the gathered
     [C, k] values + packed channels into [C, dim] messages on the VPU
     (k one-hot select steps — the _densify_rows_kernel pattern), then the
@@ -105,18 +105,18 @@ def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
 
     r, dim = out_ref.shape[0], out_ref.shape[1]
     slots = e_dst_ref.shape[-1]
-    # densify the WHOLE tile's [S, k] values into one [S, dim] message
-    # buffer first (k one-hot steps on a single accumulator): hoisting this
-    # out of the chunk loop keeps scoped-VMEM liveness at one buffer instead
-    # of slots/128 unrolled select chains (which blew the 16 MB stack limit)
+    # densify the WHOLE tile's [S, k] values into the [S, dim] VMEM scratch
+    # first (k one-hot steps accumulated IN PLACE — a value-chain version
+    # kept slots/128 unrolled select chains live and blew the 16 MB
+    # scoped-VMEM stack at k=32)
     vals = gv_ref[0]                              # [S, k_pad]
     pch = gp_ref[0]                               # [S, kp] packed uint8x4
     lane = jax.lax.broadcasted_iota(jnp.int32, (slots, dim), 1)
-    msgs_t = jnp.zeros((slots, dim), mxu_dtype)
+    msgs_ref[:] = jnp.zeros((slots, dim), mxu_dtype)
     for j in range(k):
         cj = (pch[:, j // 4:j // 4 + 1] >> (8 * (j % 4))) & 0xFF
         vj = vals[:, j:j + 1].astype(mxu_dtype)
-        msgs_t = msgs_t + (lane == cj).astype(mxu_dtype) * vj
+        msgs_ref[:] = msgs_ref[:] + (lane == cj).astype(mxu_dtype) * vj
     prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     for ci in range(slots // CHUNK):
@@ -127,7 +127,7 @@ def _stream_cbsr_kernel(ws_ref,                  # scalar prefetch (SMEM)
         rel = rows - w0
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
-        contrib = jnp.dot(onehot, msgs_t[lo:lo + CHUNK, :], precision=prec,
+        contrib = jnp.dot(onehot, msgs_ref[lo:lo + CHUNK, :], precision=prec,
                           preferred_element_type=acc_dtype)
         cur = out_ref[pl.ds(w0, window), :]
         out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
@@ -168,6 +168,7 @@ def stream_spmm_cbsr(plan: StreamPlan, values: jax.Array,
                 pl.BlockSpec((1, 1, S), lambda i, w: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((R, dim), lambda i, w: (w[i], 0)),
+            scratch_shapes=[pltpu.VMEM((S, dim), vd.dtype)],
         )
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
