@@ -202,7 +202,7 @@ def main():
     import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
-    for gname in args.graphs:
+    def run_graph(gname):
         meta = {}
         g_full = None                  # --pallas-full: real-size pallas graph
         if gname in SYNTH_CORPUS:
@@ -318,6 +318,19 @@ def main():
                         f"speedup {row['pallas_gedges']/max(row['xla_gedges'],1e-9):.2f}x")
                 print("  ".join(parts), flush=True)
 
+    import gc
+    for gname in args.graphs:
+        try:
+            run_graph(gname)
+        except Exception as exc:   # one graph must not end the sweep
+            print(json.dumps({"graph": gname, "error":
+                              f"{type(exc).__name__}: {exc}"[:160]}),
+                  flush=True)
+        finally:
+            # jitted lambdas churn the executable cache and pin device
+            # buffers; 24 full-size graphs OOM the chip without this
+            jax.clear_caches()
+            gc.collect()
 
 if __name__ == "__main__":
     main()
