@@ -238,10 +238,8 @@ def main():
         x = jax.random.normal(key, (g.num_nodes, args.dim), jnp.float32)
         ct = jax.random.normal(jax.random.fold_in(key, 1),
                                (g.num_nodes, args.dim), jnp.float32)
-        x_full = ct_full = None
+        ct_full = None
         if g_full is not None:
-            x_full = jax.random.normal(key, (g_full.num_nodes, args.dim),
-                                       jnp.float32)
             ct_full = jax.random.normal(jax.random.fold_in(key, 1),
                                         (g_full.num_nodes, args.dim),
                                         jnp.float32)
@@ -256,7 +254,14 @@ def main():
             vals, ch = maxk_cbsr(x, k)
             vals_full = ch_full = None
             if g_full is not None:
+                # the dense [N_full, dim] f32 source is 3 GB at citation
+                # scale — regenerate it per k and free it before timing so
+                # only the [N_full, k] CBSR arrays stay resident
+                x_full = jax.random.normal(key, (g_full.num_nodes, args.dim),
+                                           jnp.float32)
                 vals_full, ch_full = maxk_cbsr(x_full, k)
+                vals_full.block_until_ready()
+                del x_full
             row = {"graph": gname, "k": k, "dim": args.dim,
                    "edges": g.num_edges, **meta}
             for impl in args.impls:
