@@ -189,35 +189,44 @@ def main():
         log(f"pallas bench failed ({type(exc).__name__}: {exc})")
 
     # both baselines are linear-in-E formulations; above the cap they run on
-    # a subsampled same-structure graph and report per-edge rates
-    if g.num_edges > harness.XLA_BASELINE_EDGE_CAP:
-        scale = harness.XLA_BASELINE_EDGE_CAP / e
-        base_in = harness._bench_inputs(
-            max(int(n * scale), 1024), harness.XLA_BASELINE_EDGE_CAP,
-            args.dim, args.k, 0, None)
-        log(f"baselines on subsampled graph E={base_in[0].num_edges} "
-            f"(linear-in-E formulations; reporting per-edge rates)")
-    else:
-        base_in = (g, pg, xk, ct)
-
-    phase("xla", 200)
+    # a subsampled same-structure graph and report per-edge rates. The build
+    # itself stays inside a try: the measured pallas headline must survive
+    # ANY baseline failure, including this one.
+    phase("baseline-inputs", 300)
+    base_in = None
     try:
-        res["xla"] = harness.bench_impl(*base_in, args.dim, args.k,
-                                        "mean", "xla", args.iters)
-        log(f"xla: {res['xla']}")
+        if g.num_edges > harness.XLA_BASELINE_EDGE_CAP:
+            scale = harness.XLA_BASELINE_EDGE_CAP / e
+            base_in = harness._bench_inputs(
+                max(int(n * scale), 1024), harness.XLA_BASELINE_EDGE_CAP,
+                args.dim, args.k, 0, None)
+            log(f"baselines on subsampled graph E={base_in[0].num_edges} "
+                f"(linear-in-E formulations; reporting per-edge rates)")
+        else:
+            base_in = (g, pg, xk, ct)
     except Exception as exc:
-        log(f"xla bench failed ({type(exc).__name__}: {exc})")
+        log(f"baseline input build failed ({type(exc).__name__}: {exc})")
 
-    phase("ell", 240)
-    try:   # the repo's own strongest baseline (GNNAdvisor role) — the
-        # honest margin VERDICT r2 weak #1 asks for next to vs-XLA
-        from spgemm_gnn_tpu.ops.ell import ell_graph
-        eg = ell_graph(base_in[0])
-        res["ell"] = harness.bench_impl(*base_in, args.dim, args.k, "mean",
-                                        "ell", args.iters, graph_override=eg)
-        log(f"ell: {res['ell']}")
-    except Exception as exc:
-        log(f"ell bench failed ({type(exc).__name__}: {exc})")
+    if base_in is not None:
+        phase("xla", 200)
+        try:
+            res["xla"] = harness.bench_impl(*base_in, args.dim, args.k,
+                                            "mean", "xla", args.iters)
+            log(f"xla: {res['xla']}")
+        except Exception as exc:
+            log(f"xla bench failed ({type(exc).__name__}: {exc})")
+
+        phase("ell", 240)
+        try:   # the repo's own strongest baseline (GNNAdvisor role) — the
+            # honest margin VERDICT r2 weak #1 asks for next to vs-XLA
+            from spgemm_gnn_tpu.ops.ell import ell_graph
+            eg = ell_graph(base_in[0])
+            res["ell"] = harness.bench_impl(*base_in, args.dim, args.k,
+                                            "mean", "ell", args.iters,
+                                            graph_override=eg)
+            log(f"ell: {res['ell']}")
+        except Exception as exc:
+            log(f"ell bench failed ({type(exc).__name__}: {exc})")
 
     signal.alarm(0)
     log(f"bench done in {time.perf_counter()-t0:.1f}s")

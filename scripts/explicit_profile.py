@@ -55,24 +55,30 @@ def main():
            "dim": args.dim, "stream": args.stream,
            "plan_kind": type(plan).__name__, "fill": round(float(plan.fill), 3)}
 
-    # --- stages --------------------------------------------------------
-    f_dens = jax.jit(lambda v: densify_transpose(
-        v, ch, args.dim, plan.padded_src, interpret=interp))
-    xt = f_dens(vals)
-    rec["densify_ms"] = round(time_chained(
-        lambda v: v * (1 + f_dens(v)[0, 0] * 1e-9), vals, args.iters) * 1e3, 2)
+    # --- stages (windowed plans only: densify_transpose/padded_src are the
+    # TilePlan pipeline; StreamPlan scales skip straight to the composed
+    # pairs). Plan/channel arrays ride as jit ARGUMENTS (CLAUDE.md: closures
+    # embed as HLO constants and overflow the remote-compile payload).
+    if type(plan).__name__ == "TilePlan":
+        f_dens = jax.jit(lambda v, c: densify_transpose(
+            v, c, args.dim, plan.padded_src, interpret=interp))
+        xt = f_dens(vals, ch)
+        rec["densify_ms"] = round(time_chained(
+            lambda v: v * (1 + f_dens(v, ch)[0, 0] * 1e-9), vals,
+            args.iters) * 1e3, 2)
 
-    f_kern = jax.jit(lambda t: planned_spmm(plan, t, stream=args.stream,
-                                            interpret=interp))
-    rec["kernel_ms"] = round(time_chained(
-        lambda t: t * (1 + f_kern(t)[0, 0] * 1e-9), xt,
-        args.iters) * 1e3, 2)
+        f_kern = jax.jit(lambda t, p: planned_spmm(
+            p, t, stream=args.stream, interpret=interp))
+        rec["kernel_ms"] = round(time_chained(
+            lambda t: t * (1 + f_kern(t, plan)[0, 0] * 1e-9), xt,
+            args.iters) * 1e3, 2)
 
-    z = jax.jit(lambda c: jnp.ones((g.num_nodes, args.dim), jnp.float32))(0)
-    f_samp = jax.jit(lambda zz: sample_channels(zz, ch, interpret=interp))
-    rec["sample_ms"] = round(time_chained(
-        lambda zz: zz * (1 + f_samp(zz)[0, 0] * 1e-9), z,
-        args.iters) * 1e3, 2)
+        z = jnp.ones((g.num_nodes, args.dim), jnp.float32)
+        f_samp = jax.jit(lambda zz, c: sample_channels(zz, c,
+                                                       interpret=interp))
+        rec["sample_ms"] = round(time_chained(
+            lambda zz: zz * (1 + f_samp(zz, ch)[0, 0] * 1e-9), z,
+            args.iters) * 1e3, 2)
 
     # --- composed pairs -------------------------------------------------
     for impl, graph in (("pallas", pg), ("ell", eg)):

@@ -55,14 +55,17 @@ def main():
             pch = pack_channels(ch)
             n = g.num_nodes
 
-            f_dense = jax.jit(lambda xv: stream_spmm(
-                plan, xv, stream=args.stream, interpret=interp)[:n])
-            f_cbsr = jax.jit(lambda v, p: stream_spmm_cbsr(
-                plan, v, p, args.dim, stream=args.stream,
+            # plan/channel arrays ride as jit ARGUMENTS (CLAUDE.md: closed-
+            # over plan arrays embed as HLO constants and overflow the
+            # remote-compile payload at full scale)
+            f_dense = jax.jit(lambda xv, p: stream_spmm(
+                p, xv, stream=args.stream, interpret=interp)[:n])
+            f_cbsr = jax.jit(lambda v, pc, p: stream_spmm_cbsr(
+                p, v, pc, args.dim, stream=args.stream,
                 interpret=interp)[:n])
 
-            y_d = f_dense(xk)
-            t_d = time_chained(lambda xv: xv + f_dense(xv) * 1e-9, xk,
+            y_d = f_dense(xk, plan)
+            t_d = time_chained(lambda xv: xv + f_dense(xv, plan) * 1e-9, xk,
                                args.iters)
             rec = {"scale": scale, "edges": g.num_edges, "k": k,
                    "dim": args.dim, "stream": args.stream,
@@ -72,12 +75,12 @@ def main():
                    "dense_gedges": round(g.num_edges / t_d / 1e9, 4)}
             try:   # the measured-negative variant; may also exceed scoped
                 # VMEM at default geometry — the dense numbers must survive
-                y_c = f_cbsr(vals, pch)
+                y_c = f_cbsr(vals, pch, plan)
                 rec["err_vs_dense"] = float(
                     jnp.max(jnp.abs(y_c - y_d))
                     / (1e-6 + jnp.max(jnp.abs(y_d))))
                 t_c = time_chained(
-                    lambda v: v + f_cbsr(v, pch)[:, :k] * 1e-9, vals,
+                    lambda v: v + f_cbsr(v, pch, plan)[:, :k] * 1e-9, vals,
                     args.iters)
                 rec["cbsr_ms"] = round(t_c * 1e3, 2)
                 rec["cbsr_gedges"] = round(g.num_edges / t_c / 1e9, 4)

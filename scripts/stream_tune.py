@@ -53,20 +53,22 @@ def main():
         t0 = time.time()
         plan = stream_plan_for_graph(g, window=rw)
         t_plan = time.time() - t0
-        f_dense = jax.jit(lambda xv, _p=plan: stream_spmm(
-            _p, xv, stream=args.stream, interpret=interp)[:n])
-        f_cbsr = jax.jit(lambda v, _p=plan: stream_spmm_cbsr(
-            _p, v, pch, args.dim, stream=args.stream, interpret=interp)[:n])
-        y = f_dense(xk)
+        # plan/channels as jit arguments — never closures (CLAUDE.md)
+        f_dense = jax.jit(lambda xv, p: stream_spmm(
+            p, xv, stream=args.stream, interpret=interp)[:n])
+        f_cbsr = jax.jit(lambda v, pc, p: stream_spmm_cbsr(
+            p, v, pc, args.dim, stream=args.stream, interpret=interp)[:n])
+        y = f_dense(xk, plan)
         if y_ref is None:
             y_ref = y
-        err = float(jnp.max(jnp.abs(f_cbsr(vals) - y))
+        err = float(jnp.max(jnp.abs(f_cbsr(vals, pch, plan) - y))
                     / (1e-6 + jnp.max(jnp.abs(y))))
         xerr = float(jnp.max(jnp.abs(y - y_ref))
                      / (1e-6 + jnp.max(jnp.abs(y_ref))))
-        t_d = time_chained(lambda xv: xv + f_dense(xv) * 1e-9, xk, args.iters)
-        t_c = time_chained(lambda v: v + f_cbsr(v)[:, :args.k] * 1e-9, vals,
+        t_d = time_chained(lambda xv: xv + f_dense(xv, plan) * 1e-9, xk,
                            args.iters)
+        t_c = time_chained(lambda v: v + f_cbsr(v, pch, plan)[:, :args.k]
+                           * 1e-9, vals, args.iters)
         print(json.dumps({
             "scale": args.scale, "edges": g.num_edges, "k": args.k,
             "window": rw, "fill": round(float(plan.fill), 4),

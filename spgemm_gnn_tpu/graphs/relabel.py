@@ -37,8 +37,10 @@ def _bfs_order(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
                seed_order: np.ndarray, *, level_sort: str = "none"
                ) -> np.ndarray:
     """Whole-graph BFS visit order. Disconnected components are entered in
-    `seed_order`. level_sort: "none" keeps discovery order within a level,
-    "asc"/"desc" sorts each level by (in-)degree."""
+    `seed_order`. Within a level, nodes come out in ascending OLD-id order
+    (np.flatnonzero of the level mask — the vectorised expansion does not
+    track per-edge discovery order); level_sort "asc"/"desc" re-sorts each
+    level by (in-)degree with old-id tiebreak."""
     deg = np.diff(indptr)
     visited = np.zeros(num_nodes, bool)
     out = np.empty(num_nodes, np.int64)

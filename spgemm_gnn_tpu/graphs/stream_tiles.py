@@ -88,6 +88,20 @@ def auto_stream_window(num_rows: int, num_edges: int,
     return max(8, min(rw, 256, dst_block))
 
 
+def auto_group_blocks(group_tiles: int, tile_slots: int, dst_block: int,
+                      deg: float, n_blocks: int) -> int:
+    """Group block-range: the group's expected edge span plus 2 blocks of
+    slack, floored at 2 (block-straddling groups — with GB=1 every block's
+    LAST group pads to Wg; measured at deg 50: GB=1 → fill 0.63, 2 → 0.75,
+    4 → 0.94) and capped so the [GB·R, dim] scan partial stays a modest HBM
+    buffer. The cap wins over the floor. Shared by build_stream_plan and the
+    multi-chip shard planner so their geometries cannot diverge."""
+    cap = max(65536 // dst_block, 1)
+    gb = int(-(-group_tiles * tile_slots //
+               max(dst_block * deg, 1.0))) + 2
+    return max(min(2, n_blocks, cap), min(gb, cap, n_blocks))
+
+
 def predicted_windowed_fill(num_rows: int, num_edges: int, src_block: int,
                             num_src_nodes: int, window: int) -> float:
     """Expected chunk fill of a windowed TilePlan — used to decide plan kind
@@ -123,16 +137,7 @@ def build_stream_plan(indptr: np.ndarray, indices: np.ndarray, num_rows: int,
         raise ValueError("window must be a positive multiple of 8 ≤ dst_block")
     n_blocks = max(-(-num_rows // R), 1)
     if group_blocks is None:
-        # block range sized to the group's expected edge span PLUS 2 blocks
-        # of slack, capped so the [GB·R, dim] partial stays a modest HBM
-        # buffer. Slack matters twice over: with GB=1 every block's LAST
-        # group padded to Wg (25% of all tile slots at deg-50 products
-        # density), and even GB=2 still range-cuts where power-law tail
-        # blocks run sparse. Measured at deg 50: GB=1 → fill 0.63,
-        # GB=2 → 0.75, GB=4 → 0.94 (with the matching auto window).
-        gb = int(-(-group_tiles * S // max(R * deg, 1.0))) + 2
-        group_blocks = max(min(2, n_blocks),
-                           min(gb, max(65536 // R, 1), n_blocks))
+        group_blocks = auto_group_blocks(group_tiles, S, R, deg, n_blocks)
     GB = group_blocks
 
     # native fast path (bit-identical output; tests/test_native.py)

@@ -45,7 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.stream_tiles import (
-    StreamPlan, auto_stream_window, build_stream_plan,
+    StreamPlan, auto_group_blocks, auto_stream_window, build_stream_plan,
     predicted_windowed_fill)
 from spgemm_gnn_tpu.graphs.tiles import (
     TilePlan, auto_src_block, auto_window, build_tile_plan)
@@ -273,13 +273,11 @@ def _build_role(csrs: list[tuple[np.ndarray, np.ndarray]], rows: int,
                  for p, i in csrs]
         return _stack_windowed(plans, mesh, axis)
     rw = auto_stream_window(rows, int(avg_e), dst_block)
-    # common group-range size so partials stack — same auto rule as
-    # build_stream_plan (expected span + 2 blocks of slack, floored at 2)
+    # common group-range size so partials stack — the same auto rule as
+    # build_stream_plan (shared helper: geometries cannot diverge)
     deg = avg_e / max(rows, 1)
     n_blk = max(-(-rows // dst_block), 1)
-    gb = max(min(2, n_blk),
-             min(int(-(-256 * tile_slots // max(dst_block * deg, 1.0))) + 2,
-                 max(65536 // dst_block, 1), n_blk))
+    gb = auto_group_blocks(256, tile_slots, dst_block, deg, n_blk)
     plans = [build_stream_plan(p, i, rows, tile_slots=tile_slots,
                                dst_block=dst_block, window=rw,
                                group_blocks=gb, num_src_nodes=num_src)

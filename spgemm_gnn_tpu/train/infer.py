@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 
-from spgemm_gnn_tpu.graphs.csr import Graph, from_edges
+from spgemm_gnn_tpu.graphs.csr import Graph
 
 
 def _multi_slice(values: np.ndarray, starts: np.ndarray,

@@ -273,9 +273,6 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             rng, dr = jax.random.split(rng)
             state, loss = self.train_step(state, dr)
-            if epoch == start_epoch:
-                jax.block_until_ready(loss)
-                t_steady = time.perf_counter()
             if cfg.eval_every and (epoch % cfg.eval_every == 0
                                    or epoch == epochs - 1):
                 tr, va, te = self.eval_step(state["params"],
@@ -303,6 +300,12 @@ class Trainer:
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
                 ckpt.save_checkpoint(cfg.path, state, epoch + 1,
                                      is_best=(best_epoch == epoch))
+            if epoch == start_epoch:
+                # start the steady-state clock after the FIRST full
+                # iteration — train step AND (if the cadence hits epoch 0)
+                # eval — so neither compile lands in the measured window
+                jax.block_until_ready(loss)
+                t_steady = time.perf_counter()
         jax.block_until_ready(state["params"])
         wall = time.perf_counter() - t_start
         # steady-state epoch time: everything after the first (compiling)
