@@ -43,3 +43,14 @@ def test_mesh_remat_matches_no_remat():
     r1 = Trainer(cfg(epochs=2, eval_every=1, mesh_shape=4, remat=True)).run()
     for a, b in zip(r0["history"], r1["history"]):
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-6)
+
+
+def test_mesh_bf16_mixed_precision_trains():
+    """--dtype bfloat16 composes with the mesh path (bf16 activations through
+    the shard_map'd exchange; f32 params/logits): losses finite + falling."""
+    tr = Trainer(cfg(mesh_shape=4, dtype="bfloat16", impl="pallas",
+                     epochs=8, eval_every=4))
+    res = tr.run()
+    hist = res["history"]
+    assert np.isfinite(hist[-1].loss)
+    assert hist[-1].loss < hist[0].loss
