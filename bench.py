@@ -128,6 +128,36 @@ def main():
         signal.alarm(budget)
         log(f"phase: {name} (budget {budget}s)")
 
+    class _PhaseStall(Exception):
+        pass
+
+    def run_with_retry(name, budget, attempts, fn):
+        """Run fn() under a per-attempt watchdog that RAISES instead of
+        bailing, so transient tunnel stalls get retried (the graph/plan build
+        is disk-cached — a retry mostly redoes the host→device transfer,
+        the known stall point; VERDICT r3 weak #1). The final attempt runs
+        under the emit-cached-fallback handler so a persistent stall still
+        produces an artifact."""
+        def _raise(signum, frame):
+            raise _PhaseStall(name)
+        for att in range(attempts - 1):
+            state["phase"] = f"{name}-try{att}"
+            signal.signal(signal.SIGALRM, _raise)
+            signal.alarm(budget)
+            log(f"phase: {name} attempt {att + 1}/{attempts} "
+                f"(budget {budget}s)")
+            try:
+                out = fn()
+                signal.alarm(0)
+                return out
+            except _PhaseStall:
+                log(f"{name}: stalled after {budget}s; retrying")
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, _bail)
+        phase(name, budget)
+        return fn()
+
     phase("claim", 300)    # device claim can take minutes after unclean exits
     import jax
     t0 = time.perf_counter()
@@ -143,9 +173,18 @@ def main():
     # 114M-edge graph moves ~8x the device payload and first-compiles at new
     # shapes); medium keeps the tuned 300/200 s budgets exactly
     bf = max(1, min(6, e // 20_000_000 + 1))
-    phase("inputs", 300 * bf)  # graph/plan build is disk-cached; transfer rides
     t0 = time.perf_counter()
-    g, pg, xk, ct = harness._bench_inputs(n, e, args.dim, args.k, 0, None)
+
+    def build_inputs():
+        out = harness._bench_inputs(n, e, args.dim, args.k, 0, None)
+        # pre-stage: force every device transfer (plan arrays + features) to
+        # COMPLETE inside this guarded phase, so later phases never stall on
+        # a lazy transfer
+        jax.block_until_ready(jax.tree_util.tree_leaves((out[1], out[2],
+                                                         out[3])))
+        return out
+
+    g, pg, xk, ct = run_with_retry("inputs", 300 * bf, 3, build_inputs)
     kind = type(pg.fwd_plan).__name__
     log(f"graph N={g.num_nodes} E={g.num_edges} plan={kind} "
         f"fill={pg.fwd_plan.fill:.2f} RW={pg.fwd_plan.window} "

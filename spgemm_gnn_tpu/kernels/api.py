@@ -31,22 +31,38 @@ from spgemm_gnn_tpu.ops.spmm import spmm as _dense_spmm
 IMPLS = ("auto", "xla", "xla_dense", "ell", "pallas")
 
 
-def maxk_op(x: jax.Array, k: int | None, impl: str = "auto") -> jax.Array:
+def maxk_op(x: jax.Array, k: int | None, impl: str = "auto",
+            g=None) -> jax.Array:
     """Top-k nonlinearity dispatch (the reference `maxk_forward` binding role,
     utils/maxk_layers.py:16-45).
 
-    On a single real TPU the Pallas pivot kernel (kernels/maxk_pallas.py,
-    bit-exact vs the XLA oracle, ~3x faster at k=32 — RESULTS.md) serves the
-    hot path; everywhere else (CPU tests, multi-device meshes where x is a
-    sharded global array) the XLA `lax.top_k` masking oracle runs. impl="xla"
-    forces the oracle.
+    The Pallas pivot kernel (kernels/maxk_pallas.py, bit-exact vs the XLA
+    oracle, ~3x faster at k=32 — RESULTS.md) serves the hot path: single
+    device directly, and on a device mesh per-shard inside `shard_map` when
+    `g` carries the mesh (rows are node-sharded, the op is row-local —
+    VERDICT r3 #3: the kernel must not silently fall back to the oracle on
+    pods). impl="pallas" uses the kernel on any backend (interpret-mode off
+    TPU, like the rest of the planned path); impl="auto" uses it on TPU;
+    impl="xla" forces the oracle.
     """
     if k is None or k >= x.shape[-1]:
         return x
-    if (impl in ("pallas", "auto") and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
         from spgemm_gnn_tpu.kernels.maxk_pallas import maxk_pallas
-        return maxk_pallas(x, k)
+        if jax.device_count() == 1:
+            return maxk_pallas(x, k)
+        mesh = getattr(g, "mesh", None)
+        axis = getattr(g, "axis", None)
+        if mesh is not None and axis is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            return shard_map(lambda xb: maxk_pallas(xb, k), mesh=mesh,
+                             in_specs=P(axis), out_specs=P(axis),
+                             check_vma=False)(x)
+        # multi-device without a mesh carrier: x is a sharded global array a
+        # pallas_call cannot partition — the oracle is the correct fallback
     return _maxk_xla(x, k)
 
 

@@ -147,6 +147,22 @@ def _interpret() -> bool:
 # model stack; per-call override via planned_spmm(stream=...).
 DEFAULT_STREAM = "f32"
 
+# Per-chunk control flow in the windowed kernel: BOTH variants measured
+# NEGATIVE on the v5e (MWPROBE_r04.jsonl, clean idle-host A/B vs the r3-exact
+# kernel):
+#   - skip_empty (wrap each chunk in @pl.when(idx[0] >= 0)): 0.35x medium /
+#     0.44x full — Mosaic predication serialises the vector pipeline, costing
+#     far more than the skipped work saves;
+#   - multiwindow (span-class dispatch to 64/128/256-row scatter matmuls):
+#     0.36x at full scale — on synthetic power-law graphs hub edges spread
+#     uniformly over destination rows, so full chunks genuinely span the
+#     whole RW window and the branches are pure overhead on top of skip's.
+# Lesson recorded in docs/DESIGN.md: this kernel must stay straight-line
+# vector code. Both kept behind flags as the measured artifacts; output is
+# bit-identical in every mode.
+MULTIWINDOW = False
+SKIP_EMPTY = False
+
 # CBSR-edge-gather stream forward: measured NEGATIVE on the v5e (VERDICT r2
 # #5, scripts/stream_cbsr_probe.py 2026-08-19): 0.58x the dense-row stream
 # at k=8 and 0.29x at k=32 across sparse/deg50/mid-dense — TPU row gathers
@@ -189,7 +205,8 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
     xt = densify_transpose(v, channels, dim, fwd_plan.padded_src,
                            out_dtype=stream_dtype, interpret=_interpret())
     y = planned_spmm(fwd_plan, xt, stream=DEFAULT_STREAM,
-                     interpret=_interpret())[:n]
+                     interpret=_interpret(), multiwindow=MULTIWINDOW,
+                     skip_empty=SKIP_EMPTY)[:n]
     return _scale(y, dst_f)
 
 
@@ -252,7 +269,8 @@ def _planned_spmm_rows(plan, x, out_rows: int,
     pad = plan.padded_src - x.shape[0]
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret())
+    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret(),
+                     multiwindow=MULTIWINDOW, skip_empty=SKIP_EMPTY)
     return y[:out_rows] if out_dt is None else y[:out_rows].astype(out_dt)
 
 

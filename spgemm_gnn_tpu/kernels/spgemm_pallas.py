@@ -97,7 +97,8 @@ def _unpack_bf16x2(packed_f32):
 def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
                  xt_ref, e_src_ref, e_dst_ref,   # VMEM blocks
                  out_ref, *, window: int, acc_dtype, mxu_dtype,
-                 packed: bool, nsrc: int):
+                 packed: bool, nsrc: int, branch_windows: tuple,
+                 skip_empty: bool):
     i = pl.program_id(0)
 
     @pl.when(_first_visit(i, pw_ref, nsrc))
@@ -107,22 +108,18 @@ def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
     xt = xt_ref[:]                               # [dim, B] (dim/2 if packed)
     r = out_ref.shape[0]
     slots = e_src_ref.shape[-1]
-    for ci in range(slots // CHUNK):
-        lo = ci * CHUNK
-        idx = e_src_ref[0, 0, lo:lo + CHUNK]     # [C]; -1 ⇒ padding
-        rows = e_dst_ref[0, 0, lo:lo + CHUNK]    # [C] absolute within block
-        msgs_t = _slab_gather(xt, idx)           # [dim(/2), C]
-        # 8-aligned chunk window (planner contract), clamped in-bounds
-        w0 = jnp.minimum((e_dst_ref[0, 0, lo] // 8) * 8, r - window)
-        w0 = pl.multiple_of(w0, 8)
-        rel = rows - w0                          # [C] in [0, RW)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
+    # f32 operands at DEFAULT precision get truncated to bf16 on the MXU —
+    # the f32 stream must be exact, so request full-precision passes (the
+    # slab gather dominates runtime; the extra MXU passes are hidden)
+    prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def emit(rows, msgs_t, wc, w0):
+        """Scatter one chunk's messages into a wc-row window at w0 — the
+        one-hot MXU contraction whose cost is linear in wc."""
+        rel = rows - w0                          # [C] in [0, wc)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (wc, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
-        # f32 operands at DEFAULT precision get truncated to bf16 on the MXU —
-        # the f32 stream must be exact, so request full-precision passes (the
-        # slab gather dominates runtime; the extra MXU passes are hidden)
-        prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
         if packed:
             # bf16x2 stream: one gather serves two dim-halves
             m_lo, m_hi = _unpack_bf16x2(msgs_t)
@@ -135,13 +132,58 @@ def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
                                     (((1,), (1,)), ((), ())),
                                     precision=prec,
                                     preferred_element_type=acc_dtype),
-            ], axis=1)                            # [RW, dim]
+            ], axis=1)                            # [wc, dim]
         else:
             contrib = jax.lax.dot_general(
                 onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=acc_dtype)  # [RW, dim]
-        cur = out_ref[pl.ds(w0, window), :]
-        out_ref[pl.ds(w0, window), :] = cur + contrib.astype(out_ref.dtype)
+                precision=prec, preferred_element_type=acc_dtype)  # [wc, dim]
+        cur = out_ref[pl.ds(w0, wc), :]
+        out_ref[pl.ds(w0, wc), :] = cur + contrib.astype(out_ref.dtype)
+
+    for ci in range(slots // CHUNK):
+        lo = ci * CHUNK
+        idx = e_src_ref[0, 0, lo:lo + CHUNK]     # [C]; -1 ⇒ padding
+
+        # fully-padded chunks (first slot is padding ⇒ all are: real edges
+        # lead every chunk) contribute nothing — skip their gather + matmul
+        def _chunk(idx=idx, lo=lo):
+            rows = e_dst_ref[0, 0, lo:lo + CHUNK]  # [C] absolute within block
+            msgs_t = _slab_gather(xt, idx)         # [dim(/2), C]
+            # 8-aligned chunk window base (planner contract: every row of the
+            # chunk lies in [base, base + window))
+            base = pl.multiple_of((e_dst_ref[0, 0, lo] // 8) * 8, 8)
+            if len(branch_windows) == 1:
+                w0 = pl.multiple_of(jnp.minimum(base, r - window), 8)
+                emit(rows, msgs_t, window, w0)
+            else:
+                # span-class dispatch: the static plan window RW is sized for
+                # the WORST chunk (λ·RW ≳ C), but hub-dense chunks — where the
+                # edge mass is — span far fewer rows. Pay only for the class
+                # the chunk actually needs; padding rows replicate the first
+                # real row, so max(rows) is the true span top. Classes are
+                # monotone (fits in wc ⇒ fits in 2wc since the clamped base
+                # moves left by ≤ wc), so "first fitting class" is exact.
+                hi = jnp.max(rows)
+                prev_fits = None
+                for wc in branch_windows:
+                    w0c = pl.multiple_of(jnp.minimum(base, r - wc), 8)
+                    if wc == branch_windows[-1]:
+                        take = jnp.logical_not(prev_fits)
+                    else:
+                        fits = hi - w0c < wc
+                        take = (fits if prev_fits is None else
+                                jnp.logical_and(fits,
+                                                jnp.logical_not(prev_fits)))
+                        prev_fits = fits
+
+                    @pl.when(take)
+                    def _(rows=rows, msgs_t=msgs_t, wc=wc, w0c=w0c):
+                        emit(rows, msgs_t, wc, w0c)
+
+        if skip_empty:
+            pl.when(idx[0] >= 0)(_chunk)
+        else:
+            _chunk()
 
 
 def _densify_t_kernel(vals_ref, ch_ref, out_ref, *, k: int):
@@ -303,9 +345,25 @@ def _pack_bf16x2(xt: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
 
 
+def branch_windows_for(window: int, multiwindow: bool = True) -> tuple:
+    """Span-class windows the kernel dispatches between: powers of two from
+    64 up to the plan window. One class (no branching) when RW ≤ 64 — the
+    dense-λ regime where every chunk already spans the whole window."""
+    if not multiwindow or window <= 64:
+        return (window,)
+    bw, w = [], 64
+    while w < window:
+        bw.append(w)
+        w *= 2
+    bw.append(window)
+    return tuple(bw)
+
+
 def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
                  *, acc_dtype=jnp.float32, mxu_dtype=None,
-                 stream: str = "f32", interpret: bool = False) -> jax.Array:
+                 stream: str = "f32", interpret: bool = False,
+                 multiwindow: bool = False,
+                 skip_empty: bool = False) -> jax.Array:
     """y = A @ X over the plan, X given transposed.
 
     xt_padded: [dim, plan.padded_src] (any float dtype). Returns
@@ -315,6 +373,11 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     stream: "f32" (exact) or "bf16x2" — two bf16 packed per 32-bit lane
     (Mosaic has no 16-bit gather); halves the gather/select work, the VMEM
     stream and the block DMA at bf16 precision.
+
+    multiwindow: dispatch each chunk to the smallest span class that covers
+    its rows (64/128/.../RW) instead of always paying the full RW-row one-hot
+    matmul — the full-graph regime (large RW from λ collapse) is dominated by
+    hub chunks whose true span is small.
     """
     S, B, R, RW = (plan.tile_slots, plan.src_block, plan.dst_block,
                    plan.window)
@@ -357,7 +420,10 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
     pw = (plan.ws_dst_block.astype(jnp.int32) * nsrc
           + plan.ws_src_block.astype(jnp.int32))
     kernel = functools.partial(_spmm_kernel, window=RW, acc_dtype=acc_dtype,
-                               mxu_dtype=mxu, packed=packed, nsrc=nsrc)
+                               mxu_dtype=mxu, packed=packed, nsrc=nsrc,
+                               branch_windows=branch_windows_for(
+                                   RW, multiwindow),
+                               skip_empty=skip_empty)
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.

@@ -37,10 +37,11 @@ class _Base(nn.Module):
     # 16 GB HBM. lin_out is left in f32 so logits/loss keep full precision.
     dtype: Any = None
 
-    def _nl(self, x):
-        """The per-layer nonlinearity; returns (activated, k_for_aggregation)."""
+    def _nl(self, x, g=None):
+        """The per-layer nonlinearity; returns (activated, k_for_aggregation).
+        `g` lets the MaxK kernel run per-shard on a device mesh (api.maxk_op)."""
         if self.nonlinear == "maxk":
-            return maxk_op(x, self.maxk, self.impl), self.maxk
+            return maxk_op(x, self.maxk, self.impl, g), self.maxk
         return nn.relu(x), None
 
     def _conv(self, mod, g, x, train, *, nl: bool = False):
@@ -55,7 +56,7 @@ class _Base(nn.Module):
         bool would break Dropout's python branch)."""
         def body(m, gg, xx):
             if nl:
-                xx, _ = self._nl(xx)
+                xx, _ = self._nl(xx, gg)
             return m(gg, xx, train=train)
         if self.remat:
             return nn.remat(body, prevent_cse=False)(mod, g, x)
@@ -69,7 +70,7 @@ class _Base(nn.Module):
 
         def body(xx):
             if nl:
-                xx, _ = self._nl(xx)
+                xx, _ = self._nl(xx, g)
             return aggregate(g, xx, norm=norm, k=k, impl=self.impl)
         if self.remat:
             return jax.checkpoint(body, prevent_cse=False)(x)
@@ -109,7 +110,7 @@ class GCN(_Base):
             x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                          kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
-            x, k = self._nl(x)
+            x, k = self._nl(x, g)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             x = self._conv(GraphConvAgg(self.hidden_dim, k_sparse=k,
                                         impl=self.impl, name=f"conv{i}"),
@@ -133,7 +134,7 @@ class GIN(_Base):
             x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                          kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
-            x, k = self._nl(x)
+            x, k = self._nl(x, g)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
             x = self._conv(GINAgg(k_sparse=k, impl=self.impl,
                                   name=f"conv{i}"), g, x, train)
@@ -249,7 +250,7 @@ class MaxKGIN(_Base):
                          kernel_init=xavier_uniform,
                          name=f"lin{i}")(x)
             x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
-            x, k = self._nl(x)
+            x, k = self._nl(x, g)
             eps = self.param(f"eps{i}", nn.initializers.zeros, ())
             # the masked x feeds both terms, so only the aggregate remats
             agg = self._agg(g, x, "sum")

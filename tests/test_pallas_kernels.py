@@ -136,3 +136,38 @@ def test_densify_rows_and_sample_channels(rng):
     s_p = np.asarray(sample_channels(z, ch, interpret=True))
     s_x = np.asarray(jnp.take_along_axis(z, ch, axis=-1))
     np.testing.assert_allclose(s_p, s_x, rtol=0, atol=0)
+
+
+def test_multiwindow_span_dispatch(rng):
+    """Span-class dispatch (the full-graph λ-collapse fix): a low-λ plan
+    whose window is 256 must produce BIT-IDENTICAL output whether each chunk
+    pays the full-RW one-hot matmul or its smallest covering span class."""
+    from spgemm_gnn_tpu.graphs.tiles import build_tile_plan
+    from spgemm_gnn_tpu.kernels.spgemm_pallas import (branch_windows_for,
+                                                      planned_spmm)
+    g = powerlaw_graph(3000, 40000, seed=7)
+    plan = build_tile_plan(np.asarray(g.indptr), np.asarray(g.indices),
+                           g.num_nodes, tile_slots=1024, src_block=128,
+                           dst_block=1024, window=256)
+    assert branch_windows_for(plan.window) == (64, 128, 256)
+    dim = 128
+    x = rng.standard_normal((plan.padded_src, dim)).astype(np.float32)
+    xt = jnp.asarray(x.T)
+    y_mw = np.asarray(planned_spmm(plan, xt, interpret=True,
+                                   multiwindow=True))
+    y_1w = np.asarray(planned_spmm(plan, xt, interpret=True,
+                                   multiwindow=False))
+    y_ns = np.asarray(planned_spmm(plan, xt, interpret=True,
+                                   multiwindow=False, skip_empty=False))
+    np.testing.assert_array_equal(y_mw, y_1w)
+    np.testing.assert_array_equal(y_ns, y_1w)
+    # and against the segment-sum oracle
+    dst = np.repeat(np.arange(g.num_nodes), np.diff(np.asarray(g.indptr)))
+    oracle = np.zeros((plan.padded_dst, dim), np.float32)
+    np.add.at(oracle, dst, x[np.asarray(g.indices)])
+    np.testing.assert_allclose(y_mw, oracle, rtol=1e-4, atol=1e-4)
+    # bf16x2 stream rides the same dispatch
+    y16 = np.asarray(planned_spmm(plan, xt, stream="bf16x2", interpret=True,
+                                  multiwindow=True))
+    scale = np.abs(oracle).max() + 1e-6
+    assert np.max(np.abs(y16 - oracle)) / scale < 2e-2
