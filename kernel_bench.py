@@ -16,6 +16,40 @@ import time
 
 import numpy as np
 
+
+def _validate_rows(pg_full, g_full, vals_full, ch_full, dim,
+                   n_sample: int = 256, seed: int = 0) -> float:
+    """Validate the FULL-SIZE timed plan on a row sample (ADVICE r3): max rel
+    err of the pallas forward vs an on-the-fly XLA mean-aggregate of the
+    sampled rows' in-neighborhoods — O(sample·deg) work, no [E, k] oracle
+    buffers, so it runs at any graph size."""
+    import jax
+    import jax.numpy as jnp
+    from spgemm_gnn_tpu.kernels.api import aggregate_cbsr
+    from spgemm_gnn_tpu.ops.maxk import cbsr_to_dense
+    y = jax.jit(lambda v, c, gr: aggregate_cbsr(
+        gr, v, c, dim, "mean", "pallas"))(vals_full, ch_full, pg_full)
+    rng = np.random.default_rng(seed)
+    rows = np.unique(rng.integers(0, g_full.num_nodes, n_sample))
+    indptr = np.asarray(g_full.indptr)
+    indices = np.asarray(g_full.indices)
+    segs = [indices[indptr[r]:indptr[r + 1]] for r in rows]
+    counts = np.array([len(s) for s in segs], np.int64)
+    nbr = (np.concatenate(segs) if counts.sum()
+           else np.zeros(0, indices.dtype))
+    uniq, inv = np.unique(nbr, return_inverse=True)
+    if not len(uniq):
+        return 0.0
+    xs = cbsr_to_dense(jnp.take(vals_full, jnp.asarray(uniq), axis=0),
+                       jnp.take(ch_full, jnp.asarray(uniq), axis=0), dim)
+    msgs = jnp.take(xs, jnp.asarray(inv), axis=0)
+    seg_ids = jnp.asarray(np.repeat(np.arange(len(rows)), counts))
+    ref = jax.ops.segment_sum(msgs, seg_ids, num_segments=len(rows))
+    ref = ref / jnp.maximum(jnp.asarray(counts, jnp.float32), 1.0)[:, None]
+    got = jnp.take(y, jnp.asarray(rows), axis=0)
+    return float(jnp.max(jnp.abs(got - ref)) / (1e-6 + jnp.max(jnp.abs(ref))))
+
+
 # synthetic corpus approximating the reference's 24-graph suite regimes
 # (SURVEY.md §6: 4.3K–2.45M nodes, 99K–124M edges; README.md:72-78): average
 # degree spans 5–492, sizes bounded so host→device transfer through the
@@ -285,6 +319,16 @@ def main():
                         err = float(jnp.max(jnp.abs(y - y0)) /
                                     (1e-6 + jnp.max(jnp.abs(y0))))
                         row[f"{impl}_err"] = round(err, 6)
+                    if (args.validate and impl == "pallas"
+                            and pg_full is not None):
+                        # the timed full-size plan must be validated TOO
+                        # (ADVICE r3): a geometry bug only manifest at full
+                        # scale would otherwise ride the headline. Sampled
+                        # rows vs an on-the-fly XLA gather on those rows —
+                        # O(sample·deg) work, no [E, k] oracle buffers.
+                        row["pallas_full_err"] = round(_validate_rows(
+                            pg_full, g_full, vals_full, ch_full, args.dim),
+                            6)
 
                     def fstep(v, _f=fwd, _g=t_graph, _c=t_ch, _k=k):
                         return v + _f(v, _c, _g)[:, :_k] * 1e-9
@@ -319,8 +363,12 @@ def main():
                     else:
                         parts.append(f"{impl}: ERROR")
                 if "pallas_gedges" in row and "xla_gedges" in row:
+                    note = (" (per-edge, mixed sizes)"
+                            if pg_full is not None else "")
                     parts.append(
-                        f"speedup {row['pallas_gedges']/max(row['xla_gedges'],1e-9):.2f}x")
+                        f"speedup "
+                        f"{row['pallas_gedges']/max(row['xla_gedges'],1e-9):.2f}x"
+                        f"{note}")
                 print("  ".join(parts), flush=True)
 
     import gc

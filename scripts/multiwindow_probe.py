@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"])
     ap.add_argument("--out", default="/tmp/multiwindow_probe.jsonl")
+    ap.add_argument("--modes", default="base,pipeline",
+                    help="comma list: base | skip | branch | pipeline "
+                         "(first mode is the comparison baseline)")
     args = ap.parse_args()
 
     from bench import SCALES
@@ -48,16 +51,16 @@ def main():
             f"B={getattr(pg.fwd_plan, 'src_block', '-')} "
             f"fill={pg.fwd_plan.fill:.3f} E={g.num_edges}")
         rows = []
-        # (multiwindow, skip_empty): r3-exact baseline / skip-only / skip+branch
-        for mw, skip in ((False, False), (False, True), (True, True)):
-            planned.MULTIWINDOW = mw
-            planned.SKIP_EMPTY = skip
+        modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+        for mode in modes:
+            planned.MULTIWINDOW = mode == "branch"
+            planned.SKIP_EMPTY = mode in ("skip", "branch")
+            planned.PIPELINE = mode == "pipeline"
             t0 = time.perf_counter()
             r = harness.bench_impl(g, pg, xk, ct, args.dim, args.k,
                                    "mean", "pallas", args.iters)
             hm = 2.0 / (1 / r["fwd_gedges"] + 1 / r["bwd_gedges"])
-            row = {"scale": scale, "multiwindow": mw, "skip_empty": skip,
-                   "stream": args.stream,
+            row = {"scale": scale, "mode": mode, "stream": args.stream,
                    "k": args.k, "dim": args.dim,
                    "window": pg.fwd_plan.window,
                    "fill": round(pg.fwd_plan.fill, 4),
@@ -68,13 +71,14 @@ def main():
             log(json.dumps(row))
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
-        if len(rows) == 3 and rows[0]["hmean_gedges"] > 0:
-            log(f"[{scale}] skip_empty: "
-                f"{rows[1]['hmean_gedges'] / rows[0]['hmean_gedges']:.3f}x  "
-                f"skip+branch: "
-                f"{rows[2]['hmean_gedges'] / rows[0]['hmean_gedges']:.3f}x")
+        if len(rows) > 1 and rows[0]["hmean_gedges"] > 0:
+            log(f"[{scale}] " + "  ".join(
+                f"{r['mode']}: "
+                f"{r['hmean_gedges'] / rows[0]['hmean_gedges']:.3f}x"
+                for r in rows[1:]))
     planned.MULTIWINDOW = False
-    planned.SKIP_EMPTY = True
+    planned.SKIP_EMPTY = False
+    planned.PIPELINE = True
 
 
 if __name__ == "__main__":

@@ -33,6 +33,17 @@ CONFIGS = [
     ("b256", {"src_block": 256}),
     ("b512", {"src_block": 512}),
     ("b512-w8", {"src_block": 512, "window": 8}),
+    # full-graph regime: λ = deg·B/N collapses at large N, so the auto window
+    # grows to 256 and every RW-proportional kernel term (one-hot scatter
+    # matmul, window RMW, one-hot build) dominates — large B trades cheap
+    # slab-gather passes for a small window (VERDICT r3 #1 calibration)
+    ("b1024", {"src_block": 1024}),
+    ("b2048", {"src_block": 2048}),
+    # per-density window classes (graphs/tiles.py::build_tile_plan_classes):
+    # disjoint bucket partitions, one branch-free kernel launch per class
+    ("classes", {"kind": "windowed_classes"}),
+    ("classes-b128", {"kind": "windowed_classes", "src_block": 128}),
+    ("classes-b512", {"kind": "windowed_classes", "src_block": 512}),
     ("s512", {"tile_slots": 512}),
     ("s2048", {"tile_slots": 2048}),
 ]
@@ -67,7 +78,7 @@ def main():
         # kernel (stream plans have their own auto_stream_window)
         r = bench_aggregation(n, e, args.dim, args.k, impls=("pallas",),
                               plan_kw={"kind": "windowed", **kw},
-                              iters=args.iters)
+                              iters=args.iters)   # kw's own "kind" wins
         p = r["pallas"]
         h = 2.0 / (1.0 / p["fwd_gedges"] + 1.0 / p["bwd_gedges"])
         row = {"regime": args.regime, "config": name, **kw,

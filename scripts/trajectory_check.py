@@ -37,10 +37,11 @@ def run(args) -> None:
         jax.config.update("jax_default_matmul_precision", args.matmul)
 
     cfg = from_args([
-        "--dataset", "reddit", "--synthetic",
+        "--dataset", args.dataset, "--synthetic",
         "--synthetic_scale", str(args.scale),
         "--model", "sage", "--nonlinear", "maxk", "--maxk", "32",
-        "--hidden_layers", "3", "--hidden_dim", "256", "--norm",
+        "--hidden_layers", str(args.hidden_layers),
+        "--hidden_dim", str(args.hidden_dim), "--norm",
         "--epochs", str(args.epochs), "--eval_every", "1",
         "--dropout", "0.0",               # determinism across backends
         "--seed", str(args.seed),
@@ -51,6 +52,7 @@ def run(args) -> None:
     results = trainer.run()
     out = {
         "backend": jax.default_backend(),
+        "dataset": args.dataset,
         "impl": args.impl,
         "stream": args.stream,
         "epochs": args.epochs,
@@ -121,6 +123,11 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     r = sub.add_parser("run")
     r.add_argument("--impl", default="pallas")
+    r.add_argument("--dataset", default="reddit",
+                   help="reddit (CE/accuracy) or yelp (BCE/micro-F1 — the "
+                        "multilabel trajectory gate, VERDICT r3 #6)")
+    r.add_argument("--hidden_dim", type=int, default=256)
+    r.add_argument("--hidden_layers", type=int, default=3)
     r.add_argument("--stream", default="bf16x2", choices=["f32", "bf16x2"])
     r.add_argument("--epochs", type=int, default=40)
     r.add_argument("--scale", type=float, default=0.02)

@@ -139,13 +139,46 @@ def _synthetic_dataset(name: str, scale: float = 1.0, seed: int = 0) -> Dataset:
     # weak #4). Centroid evidence in 16 dims is recoverable from a few
     # thousand training rows, so the oracle reaches well-above-chance TEST
     # accuracy and accuracy deltas actually gate something.
-    r = min(16, f)
     multilabel = name in MULTILABEL
     if multilabel:
+        # Recoverable multilabel signal (VERDICT r3 #6): per-class unit
+        # directions w_c in an r-dim subspace; labels threshold each node's
+        # projection at the class MEDIAN, then labelled rows are pushed along
+        # w_c until every class projection clears a ±2.5 margin (iterated —
+        # class directions crosstalk at w_c·w_c' ≈ 1/√r). Measured r4
+        # calibration (yelp config, 4x384 MaxK-16 SAGE, lr 0.01):
+        #   - r1-r3 margin-free 0.9-quantile signal: micro-F1 0.12 (vacuous);
+        #   - 0.8/0.65 quantiles: the all-negative BCE basin swallows the
+        #     oracle for 80+ epochs (plateaus 0.10/0.44);
+        #   - graph-smoothed homophilous latents: measured WORSE (0.60 yelp,
+        #     proteins GNN_res dead at AUC 0.50) — not kept;
+        #   - this construction: test micro-F1 0.655 plateau by ~130 epochs
+        #     (beats random 0.50 and collapse 0.0; the all-positive
+        #     strategy's 0.667 is the remaining caveat, documented in the
+        #     gate test). For proteins (f=8 ⇒ r=8) margins are infeasible
+        #     (crosstalk > margin) but the ROC-AUC gate is threshold-free.
+        r = min(64, f)
         w = rng.standard_normal((r, c)).astype(np.float32)
-        labels = (feat[:, :r] @ w >
-                  np.quantile(feat[:, :r] @ w, 0.9, axis=0)).astype(np.float32)
+        w /= np.linalg.norm(w, axis=0, keepdims=True)
+        z = feat[:, :r] @ w
+        # yelp (margin-capable): median split — 50/50 keeps the all-negative
+        # BCE basin unattractive. proteins (r=8, no margins): 35% positives —
+        # at exactly 50/50 the constant-zero-logit init IS the BCE optimum
+        # for label-symmetric features and GNN_res never moves (measured:
+        # loss pinned at log 2, AUC 0.50 for 200 epochs)
+        q = 0.5 if r >= 32 else 0.65
+        thr = np.quantile(z, q, axis=0)
+        labels = (z > thr).astype(np.float32)
+        if r >= 32:
+            margin = 2.5
+            for _ in range(3):
+                gap = feat[:, :r] @ w - thr
+                push = np.where(labels > 0,
+                                np.maximum(margin - gap, 0.0),
+                                -np.maximum(margin + gap, 0.0))
+                feat[:, :r] += (push @ w.T).astype(np.float32)
     else:
+        r = min(16, f)
         labels = rng.integers(0, c, n).astype(np.int64)
         mu = rng.standard_normal((c, r)).astype(np.float32) * 2.5
         feat[:, :r] += mu[labels]

@@ -38,15 +38,26 @@ _ARRAY_FIELDS = {
 
 def _plan_kind(plan) -> str:
     from spgemm_gnn_tpu.graphs.stream_tiles import StreamPlan
+    from spgemm_gnn_tpu.graphs.tiles import MultiTilePlan
+    if isinstance(plan, MultiTilePlan):
+        return "windowed_classes"
     return "stream" if isinstance(plan, StreamPlan) else "windowed"
 
 
 def save_plan(path: str, plan) -> None:
-    """Serialise a TilePlan/StreamPlan to one .npz (arrays + statics)."""
+    """Serialise a TilePlan/StreamPlan/MultiTilePlan to one .npz."""
     kind = _plan_kind(plan)
-    arrays = {f: np.asarray(getattr(plan, f)) for f in _ARRAY_FIELDS[kind]}
-    statics = {k: v for k, v in plan.__dict__.items()
-               if not hasattr(v, "shape")}
+    if kind == "windowed_classes":
+        arrays, statics = {}, []
+        for i, p in enumerate(plan.plans):
+            for f in _ARRAY_FIELDS["windowed"]:
+                arrays[f"c{i}_{f}"] = np.asarray(getattr(p, f))
+            statics.append({k: v for k, v in p.__dict__.items()
+                            if not hasattr(v, "shape")})
+    else:
+        arrays = {f: np.asarray(getattr(plan, f)) for f in _ARRAY_FIELDS[kind]}
+        statics = {k: v for k, v in plan.__dict__.items()
+                   if not hasattr(v, "shape")}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"   # np.savez appends .npz unless already present
     np.savez(tmp, __kind__=kind, __statics__=json.dumps(statics), **arrays)
@@ -57,11 +68,18 @@ def load_plan(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["__kind__"])
     statics = json.loads(str(z["__statics__"]))
+    from spgemm_gnn_tpu.graphs.tiles import MultiTilePlan, TilePlan
+    if kind == "windowed_classes":
+        plans = []
+        for i, st in enumerate(statics):
+            arrays = {f: jnp.asarray(z[f"c{i}_{f}"])
+                      for f in _ARRAY_FIELDS["windowed"]}
+            plans.append(TilePlan(**arrays, **st))
+        return MultiTilePlan(plans=tuple(plans))
     arrays = {f: jnp.asarray(z[f]) for f in _ARRAY_FIELDS[kind]}
     if kind == "stream":
         from spgemm_gnn_tpu.graphs.stream_tiles import StreamPlan
         return StreamPlan(**arrays, **statics)
-    from spgemm_gnn_tpu.graphs.tiles import TilePlan
     return TilePlan(**arrays, **statics)
 
 

@@ -254,6 +254,127 @@ def build_tile_plan(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
     )
 
 
+@struct.dataclass
+class MultiTilePlan:
+    """A set of TilePlans over DISJOINT (dst-block, src-block) bucket classes
+    of one graph, each with its own destination-row window RW.
+
+    Why: with a single static RW, λ = edges per (dst row, src block) varies
+    ~4× across buckets of a power-law graph (full-Reddit 10th/90th pct:
+    0.22/0.85), so dense buckets pay an oversized one-hot scatter (cost
+    ∝ RW) while sparse buckets pay low chunk fill. Each bucket goes to the
+    window class minimizing the measured per-chunk cost model (below), and
+    the kernel — unchanged, branch-free — runs once per class; outputs sum.
+    (VERDICT r3 #1; calibration: KERNEL_ABLATE/PLANTUNE_FULL_r04.)
+    """
+    plans: tuple    # TilePlan per class, same B/R/node spaces, distinct RW
+
+    @property
+    def padded_dst(self) -> int:
+        return self.plans[0].padded_dst
+
+    @property
+    def padded_src(self) -> int:
+        return self.plans[0].padded_src
+
+    @property
+    def src_block(self) -> int:
+        return self.plans[0].src_block
+
+    @property
+    def window(self) -> int:
+        return max(p.window for p in self.plans)
+
+    @property
+    def num_edges(self) -> int:
+        return sum(p.num_edges for p in self.plans)
+
+    @property
+    def num_tiles(self) -> int:
+        return sum(p.num_tiles for p in self.plans)
+
+    @property
+    def tile_slots(self) -> int:
+        return self.plans[0].tile_slots
+
+    @property
+    def fill(self) -> float:
+        return self.num_edges / float(sum(p.num_tiles * p.tile_slots
+                                          for p in self.plans))
+
+
+# measured per-chunk cost model on the v5e (bf16x2, dim 256 — r4 ablation
+# KERNEL_ABLATE: plain 169 ns at B=256/RW=256 = fixed 106 [99 floor + slab
+# gather beyond B=128] + 0.24·RW one-hot scatter dots), and the greedy
+# chunking efficiency at λ·RW ≈ C measured from plan fills (0.725 at
+# λRW=136 ⇒ edges/chunk ≈ 0.68·λ·RW until the 128 cap).
+CHUNK_FIXED_NS = 106.0
+CHUNK_NS_PER_WINDOW_ROW = 0.24
+CHUNK_GREEDY_EFF = 0.68
+WINDOW_CLASSES = (64, 128, 256, 512, 1024)
+
+
+def _class_cost(lam: np.ndarray, rw: int) -> np.ndarray:
+    """Modeled cost per EDGE for buckets of density lam at window rw."""
+    per_chunk = np.minimum(128.0, CHUNK_GREEDY_EFF * lam * rw)
+    return (CHUNK_FIXED_NS + CHUNK_NS_PER_WINDOW_ROW * rw) / np.maximum(
+        per_chunk, 1e-9)
+
+
+def build_tile_plan_classes(indptr: np.ndarray, indices: np.ndarray,
+                            num_nodes: int, *, tile_slots: int = 1024,
+                            src_block: int = 256, dst_block: int = 4096,
+                            classes: tuple = WINDOW_CLASSES,
+                            num_src_nodes: int | None = None,
+                            min_edge_share: float = 0.02,
+                            use_native: bool = True) -> MultiTilePlan:
+    """Partition buckets into per-density window classes and build one
+    TilePlan per class (see MultiTilePlan). Classes attracting less than
+    min_edge_share of the edges are merged into their neighbors."""
+    indptr = np.asarray(indptr, np.int64)
+    src = np.asarray(indices, np.int64)
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
+    B, R = src_block, dst_block
+    nsrc = max(-(-n_src // B), 1)
+    dst = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    bucket = (dst // R) * nsrc + (src // B)
+    ub, inv, cnt = np.unique(bucket, return_inverse=True, return_counts=True)
+    lam = cnt / float(R)
+    costs = np.stack([_class_cost(lam, rw) for rw in classes], axis=1)
+    choice = np.argmin(costs, axis=1)                     # class per bucket
+    # merge classes that attract a negligible edge share (each class is a
+    # separate kernel launch + compile)
+    total = float(cnt.sum())
+    for ci in range(len(classes)):
+        mask = choice == ci
+        share = cnt[mask].sum() / max(total, 1.0)
+        if 0 < share < min_edge_share:
+            sub = costs[mask].copy()
+            sub[:, ci] = np.inf
+            choice[mask] = np.argmin(sub, axis=1)
+    edge_class = choice[inv]
+    plans = []
+    for ci, rw in enumerate(classes):
+        mask = edge_class == ci
+        if not mask.any():
+            continue
+        sub_dst = dst[mask]
+        sub_src = src[mask].astype(np.int32)
+        sub_ptr = np.zeros(num_nodes + 1, np.int64)
+        sub_ptr[1:] = np.cumsum(np.bincount(sub_dst, minlength=num_nodes))
+        plans.append(build_tile_plan(
+            sub_ptr, sub_src, num_nodes, tile_slots=tile_slots,
+            src_block=B, dst_block=R, window=min(rw, R),
+            num_src_nodes=n_src, use_native=use_native))
+    if not plans:   # empty graph: one empty plan keeps shapes well-defined
+        plans.append(build_tile_plan(indptr, indices, num_nodes,
+                                     tile_slots=tile_slots, src_block=B,
+                                     dst_block=R, window=min(classes[0], R),
+                                     num_src_nodes=n_src,
+                                     use_native=use_native))
+    return MultiTilePlan(plans=tuple(plans))
+
+
 def plan_for_graph(g, *, transpose: bool = False, tile_slots: int = 1024,
                    src_block: int = 256, dst_block: int = 4096,
                    window: int | None = None) -> TilePlan:

@@ -22,7 +22,8 @@ from spgemm_gnn_tpu.graphs.csr import Graph
 from spgemm_gnn_tpu.graphs.stream_tiles import (
     StreamPlan, predicted_windowed_fill, stream_plan_for_graph)
 from spgemm_gnn_tpu.graphs.tiles import (
-    TilePlan, auto_src_block, auto_window, plan_for_graph)
+    MultiTilePlan, TilePlan, auto_src_block, auto_window,
+    build_tile_plan_classes, plan_for_graph)
 from spgemm_gnn_tpu.kernels.spgemm_pallas import (
     densify_transpose, planned_spmm, sample_channels)
 from spgemm_gnn_tpu.kernels.stream_pallas import stream_spmm
@@ -93,7 +94,7 @@ def plan_graph(g: Graph, *, tile_slots: int = 1024,
     amortisation — kernels/generate_meta.py role); second runs skip the build.
     For symmetric graphs the transpose CSR is the CSR itself, so the backward
     plan aliases the forward plan (halves build time and device transfer)."""
-    if kind not in ("auto", "windowed", "stream"):
+    if kind not in ("auto", "windowed", "stream", "windowed_classes"):
         raise ValueError(f"unknown plan kind {kind!r}")
     # the stream-vs-windowed cutover is calibrated at B=256 (KERNEL_SWEEP
     # corpus) — decide the kind there, THEN pick the src block for the
@@ -116,6 +117,14 @@ def plan_graph(g: Graph, *, tile_slots: int = 1024,
                                       tile_slots=tile_slots,
                                       src_block=src_block,
                                       dst_block=dst_block, window=window)
+            if k == "windowed_classes":
+                import numpy as _np
+                ip = g.t_indptr if transpose else g.indptr
+                ix = g.t_indices if transpose else g.indices
+                return build_tile_plan_classes(
+                    _np.asarray(ip), _np.asarray(ix), g.num_nodes,
+                    tile_slots=tile_slots, src_block=src_block,
+                    dst_block=dst_block)
             return stream_plan_for_graph(
                 g, transpose=transpose, tile_slots=tile_slots,
                 dst_block=dst_block,
@@ -163,6 +172,11 @@ DEFAULT_STREAM = "f32"
 MULTIWINDOW = False
 SKIP_EMPTY = False
 
+# software-pipelined chunk schedule (chunk ci+1's slab gather issued between
+# chunk ci's MXU dots and its window RMW — straight-line, bit-identical);
+# module-level for A/B benching.
+PIPELINE = True
+
 # CBSR-edge-gather stream forward: measured NEGATIVE on the v5e (VERDICT r2
 # #5, scripts/stream_cbsr_probe.py 2026-08-19): 0.58x the dense-row stream
 # at k=8 and 0.29x at k=32 across sparse/deg50/mid-dense — TPU row gathers
@@ -204,9 +218,15 @@ def spgemm_forward(dim, values, channels, src_f, dst_f, plans,
         return _scale(y, dst_f)
     xt = densify_transpose(v, channels, dim, fwd_plan.padded_src,
                            out_dtype=stream_dtype, interpret=_interpret())
-    y = planned_spmm(fwd_plan, xt, stream=DEFAULT_STREAM,
-                     interpret=_interpret(), multiwindow=MULTIWINDOW,
-                     skip_empty=SKIP_EMPTY)[:n]
+    subs = (fwd_plan.plans if isinstance(fwd_plan, MultiTilePlan)
+            else (fwd_plan,))
+    y = None
+    for p in subs:
+        yp = planned_spmm(p, xt, stream=DEFAULT_STREAM,
+                          interpret=_interpret(), multiwindow=MULTIWINDOW,
+                          skip_empty=SKIP_EMPTY, pipeline=PIPELINE)
+        y = yp if y is None else y + yp
+    y = y[:n]
     return _scale(y, dst_f)
 
 
@@ -269,8 +289,14 @@ def _planned_spmm_rows(plan, x, out_rows: int,
     pad = plan.padded_src - x.shape[0]
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    y = planned_spmm(plan, xt, stream=DEFAULT_STREAM, interpret=_interpret(),
-                     multiwindow=MULTIWINDOW, skip_empty=SKIP_EMPTY)
+    sub_plans = plan.plans if isinstance(plan, MultiTilePlan) else (plan,)
+    y = None
+    for p in sub_plans:   # per-density window classes (graphs/tiles.py) —
+        # one branch-free kernel launch each; partial sums add once per class
+        yp = planned_spmm(p, xt, stream=DEFAULT_STREAM,
+                          interpret=_interpret(), multiwindow=MULTIWINDOW,
+                          skip_empty=SKIP_EMPTY, pipeline=PIPELINE)
+        y = yp if y is None else y + yp
     return y[:out_rows] if out_dt is None else y[:out_rows].astype(out_dt)
 
 

@@ -98,7 +98,8 @@ def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
                  xt_ref, e_src_ref, e_dst_ref,   # VMEM blocks
                  out_ref, *, window: int, acc_dtype, mxu_dtype,
                  packed: bool, nsrc: int, branch_windows: tuple,
-                 skip_empty: bool):
+                 skip_empty: bool, pipeline: bool,
+                 debug_variant: str | None = None):
     i = pl.program_id(0)
 
     @pl.when(_first_visit(i, pw_ref, nsrc))
@@ -114,16 +115,16 @@ def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
     prec = (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    def emit(rows, msgs_t, wc, w0):
-        """Scatter one chunk's messages into a wc-row window at w0 — the
-        one-hot MXU contraction whose cost is linear in wc."""
+    def dots(rows, msgs_t, wc, w0):
+        """One chunk's scatter contraction: build the one-hot and issue the
+        MXU dot(s) — VPU prep + MXU work, no output access."""
         rel = rows - w0                          # [C] in [0, wc)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (wc, CHUNK), 0)
                   == rel[None, :]).astype(mxu_dtype)
         if packed:
             # bf16x2 stream: one gather serves two dim-halves
             m_lo, m_hi = _unpack_bf16x2(msgs_t)
-            contrib = jnp.concatenate([
+            return jnp.concatenate([
                 jax.lax.dot_general(onehot, m_lo.astype(mxu_dtype),
                                     (((1,), (1,)), ((), ())),
                                     precision=prec,
@@ -133,12 +134,107 @@ def _spmm_kernel(pw_ref,                         # scalar prefetch (SMEM)
                                     precision=prec,
                                     preferred_element_type=acc_dtype),
             ], axis=1)                            # [wc, dim]
-        else:
-            contrib = jax.lax.dot_general(
-                onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=acc_dtype)  # [wc, dim]
+        return jax.lax.dot_general(
+            onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=acc_dtype)  # [wc, dim]
+
+    def emit(rows, msgs_t, wc, w0):
+        contrib = dots(rows, msgs_t, wc, w0)
         cur = out_ref[pl.ds(w0, wc), :]
         out_ref[pl.ds(w0, wc), :] = cur + contrib.astype(out_ref.dtype)
+
+    if debug_variant is not None:
+        # timing-only ablations (WRONG OUTPUT — never on a production path):
+        # each removes one per-chunk term so on-chip A/B attributes the cost
+        #   no_gather : slab gather → static slice
+        #   cheap_onehot : one-hot build → scalar-broadcast compare
+        #   no_dot    : MXU dots → reuse msgs (keeps gather + RMW shapes)
+        #   static_rmw: window RMW at offset 0 (isolates dynamic addressing)
+        #   no_rmw    : overwrite instead of read-add-write
+        n_chunks = slots // CHUNK
+        for ci in range(n_chunks):
+            lo = ci * CHUNK
+            idx = e_src_ref[0, 0, lo:lo + CHUNK]
+            rows = e_dst_ref[0, 0, lo:lo + CHUNK]
+            if debug_variant == "no_gather":
+                msgs_t = xt[:, :CHUNK]
+            else:
+                msgs_t = _slab_gather(xt, idx)
+            if debug_variant == "floor":
+                # gather + one static store — the irreducible per-chunk floor
+                h = msgs_t.shape[0]
+                out_ref[pl.ds(0, h), pl.ds(0, CHUNK)] = msgs_t.astype(
+                    out_ref.dtype)
+                continue
+            base = pl.multiple_of((e_dst_ref[0, 0, lo] // 8) * 8, 8)
+            w0 = pl.multiple_of(jnp.minimum(base, r - window), 8)
+            rel = (jnp.broadcast_to(rows[0] % window, (CHUNK,))
+                   if debug_variant == "cheap_onehot" else rows - w0)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (window, CHUNK), 0)
+                      == rel[None, :]).astype(mxu_dtype)
+            if debug_variant == "no_dot":
+                half = msgs_t.astype(acc_dtype)
+                contrib = jnp.concatenate(
+                    [jnp.zeros((window - msgs_t.shape[0], CHUNK), acc_dtype),
+                     half], axis=0)[:, :out_ref.shape[1]]
+                contrib = jnp.pad(contrib,
+                                  ((0, 0),
+                                   (0, out_ref.shape[1] - contrib.shape[1])))
+            elif packed:
+                m_lo, m_hi = _unpack_bf16x2(msgs_t)
+                contrib = jnp.concatenate([
+                    jax.lax.dot_general(onehot, m_lo.astype(mxu_dtype),
+                                        (((1,), (1,)), ((), ())),
+                                        precision=prec,
+                                        preferred_element_type=acc_dtype),
+                    jax.lax.dot_general(onehot, m_hi.astype(mxu_dtype),
+                                        (((1,), (1,)), ((), ())),
+                                        precision=prec,
+                                        preferred_element_type=acc_dtype),
+                ], axis=1)
+            else:
+                contrib = jax.lax.dot_general(
+                    onehot, msgs_t.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=acc_dtype)
+            if debug_variant == "static_rmw":
+                cur = out_ref[pl.ds(0, window), :]
+                out_ref[pl.ds(0, window), :] = cur + contrib.astype(
+                    out_ref.dtype)
+            elif debug_variant == "no_rmw":
+                out_ref[pl.ds(w0, window), :] = contrib.astype(out_ref.dtype)
+            else:
+                cur = out_ref[pl.ds(w0, window), :]
+                out_ref[pl.ds(w0, window), :] = cur + contrib.astype(
+                    out_ref.dtype)
+        return
+
+    if pipeline and len(branch_windows) == 1 and not skip_empty:
+        # software-pipelined schedule (straight-line — constraint 8 in
+        # docs/DESIGN.md forbids per-chunk branches): issue chunk ci+1's
+        # slab gather (VPU) BETWEEN chunk ci's MXU dots and its window RMW,
+        # so the gather overlaps the matmul instead of serialising behind it
+        n_chunks = slots // CHUNK
+
+        def gather_ci(ci):
+            lo = ci * CHUNK
+            return _slab_gather(xt, e_src_ref[0, 0, lo:lo + CHUNK])
+
+        def w0_of(ci):
+            base = (e_dst_ref[0, 0, ci * CHUNK] // 8) * 8
+            return pl.multiple_of(jnp.minimum(base, r - window), 8)
+
+        msgs = gather_ci(0)
+        for ci in range(n_chunks):
+            lo = ci * CHUNK
+            rows = e_dst_ref[0, 0, lo:lo + CHUNK]
+            w0 = w0_of(ci)
+            contrib = dots(rows, msgs, window, w0)
+            if ci + 1 < n_chunks:
+                msgs = gather_ci(ci + 1)
+            cur = out_ref[pl.ds(w0, window), :]
+            out_ref[pl.ds(w0, window), :] = cur + contrib.astype(
+                out_ref.dtype)
+        return
 
     for ci in range(slots // CHUNK):
         lo = ci * CHUNK
@@ -363,7 +459,9 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
                  *, acc_dtype=jnp.float32, mxu_dtype=None,
                  stream: str = "f32", interpret: bool = False,
                  multiwindow: bool = False,
-                 skip_empty: bool = False) -> jax.Array:
+                 skip_empty: bool = False,
+                 pipeline: bool = True,
+                 debug_variant: str | None = None) -> jax.Array:
     """y = A @ X over the plan, X given transposed.
 
     xt_padded: [dim, plan.padded_src] (any float dtype). Returns
@@ -423,7 +521,8 @@ def planned_spmm(plan: TilePlan, xt_padded: jax.Array,
                                mxu_dtype=mxu, packed=packed, nsrc=nsrc,
                                branch_windows=branch_windows_for(
                                    RW, multiwindow),
-                               skip_empty=skip_empty)
+                               skip_empty=skip_empty, pipeline=pipeline,
+                               debug_variant=debug_variant)
     w = plan.num_tiles
     # edge arrays as [W, 1, S]: TPU block specs need the last two block dims
     # (8,128)-aligned or array-equal — a singleton middle dim satisfies that.

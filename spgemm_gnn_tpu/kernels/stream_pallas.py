@@ -148,6 +148,12 @@ def stream_spmm_cbsr(plan: StreamPlan, values: jax.Array,
     ops.maxk.pack_channels. Returns [plan.padded_dst, dim].
     """
     n, k = values.shape
+    if dim > 256:
+        # pack_channels stores channel ids as uint8 (4 per int32 lane); the
+        # in-kernel unpack sign-extends byte 3 via arithmetic shift, so ids
+        # ≥ 256 would silently corrupt output (ADVICE r3)
+        raise ValueError(f"stream_spmm_cbsr supports dim <= 256 (uint8 "
+                         f"channel ids); got dim={dim}")
     out_dtype = out_dtype or acc_dtype
     vd = values.astype(jnp.bfloat16) if stream in ("bf16", "bf16x2") \
         else values.astype(jnp.float32)

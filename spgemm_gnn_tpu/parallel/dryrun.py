@@ -22,7 +22,7 @@ from spgemm_gnn_tpu.train.optim import build_optimizer
 def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
                feat: int = 32, hidden: int = 64, classes: int = 8,
                k: int = 8, layers: int = 2, seed: int = 0,
-               impl: str = "both") -> float:
+               impl: str = "both", graph=None) -> float:
     """Build a tiny sharded training problem and execute one optimizer step.
 
     impl: "xla" (collective gather/segment-sum path), "pallas" (per-shard
@@ -34,13 +34,14 @@ def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
     if impl == "both":
         loss = run_dryrun(n_devices, n_nodes=n_nodes, n_edges=n_edges,
                           feat=feat, hidden=hidden, classes=classes, k=k,
-                          layers=layers, seed=seed, impl="xla")
+                          layers=layers, seed=seed, impl="xla", graph=graph)
         run_dryrun(n_devices, n_nodes=n_nodes, n_edges=n_edges, feat=feat,
                    hidden=hidden, classes=classes, k=k, layers=layers,
-                   seed=seed, impl="pallas")
+                   seed=seed, impl="pallas", graph=graph)
         return loss
     mesh = make_mesh(n_devices)
-    g = powerlaw_graph(n_nodes, n_edges, seed=seed)
+    g = graph if graph is not None else powerlaw_graph(n_nodes, n_edges,
+                                                       seed=seed)
     if impl == "pallas":
         from spgemm_gnn_tpu.parallel.planned_sharded import shard_planned_graph
         sg = shard_planned_graph(g, mesh, tile_slots=128, src_block=128,

@@ -36,6 +36,15 @@ class TrainConfig:
     remat: bool = False                  # rematerialise per-layer aggregation
     #                                      (memory/compute trade at products scale)
     eval_every: int = 1                  # reference evaluates every epoch (§7.3)
+    # host-sync eval metrics in batches of this many evals (device scalars in
+    # between) — each per-eval fetch drains the pipeline through the tunnel
+    # (VERDICT r3 #8). Checkpointing forces per-eval sync (best-state snapshot).
+    eval_fetch_every: int = 8
+    # run this many consecutive train epochs per device dispatch (lax.scan,
+    # state donated) — the small-graph tunnel-dispatch fix (VERDICT r3 #4).
+    # Identical trajectories at any value; groups never straddle an eval or
+    # checkpoint boundary.
+    steps_per_call: int = 1
     checkpoint_every: int = 0            # 0 = only final/best
     resume: bool = False
     dtype: str = "float32"               # compute dtype for features/activations
@@ -103,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(trades recompute for activation memory at "
                         "products-scale graphs)")
     p.add_argument("--eval_every", type=int, default=d.eval_every)
+    p.add_argument("--eval_fetch_every", type=int, default=d.eval_fetch_every)
+    p.add_argument("--steps_per_call", type=int, default=d.steps_per_call)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", default=d.dtype)

@@ -208,10 +208,32 @@ class Trainer:
                 metric = lambda m: micro_f1(logits, labels, m)
             return metric(train_mask), metric(val_mask), metric(test_mask)
 
+        def train_steps(state, rng, g, features, labels, train_mask,
+                        n_steps: int):
+            """n_steps consecutive train steps in ONE dispatch via lax.scan
+            (VERDICT r3 #4: small graphs are tunnel-dispatch-bound — flickr
+            paid a host→device round-trip per 24 ms epoch). The rng split
+            sequence matches the one-step-per-call driver exactly, so
+            trajectories are identical for any batching factor."""
+            def body(carry, _):
+                st, r = carry
+                r, dr = jax.random.split(r)
+                st, loss = train_step(st, dr, g, features, labels, train_mask)
+                return (st, r), loss
+
+            (state, rng), losses = jax.lax.scan(body, (state, rng), None,
+                                                length=n_steps)
+            return state, rng, losses[-1]
+
         jit_train = jax.jit(train_step, donate_argnums=(0,))
+        jit_trains = jax.jit(train_steps, donate_argnums=(0,),
+                             static_argnums=(6,))
         jit_eval = jax.jit(eval_step)
         self.train_step = lambda state, rng: jit_train(
             state, rng, self.g, self.features, self.labels, self.masks[0])
+        # batched: returns (state, advanced_rng, last_loss)
+        self.train_steps = lambda state, rng, n: jit_trains(
+            state, rng, self.g, self.features, self.labels, self.masks[0], n)
         self.eval_step = lambda params, batch_stats: jit_eval(
             params, batch_stats, self.g, self.features, self.labels,
             self.masks)
@@ -267,24 +289,30 @@ class Trainer:
         best_val, best_test, best_epoch = 0.0, 0.0, -1
         best_state = None   # host snapshot at the best-val epoch
         history: list[EpochRecord] = []
+        # Deferred metric fetching (VERDICT r3 #8): eval metrics stay DEVICE
+        # scalars and are host-synced in batches of eval_fetch_every — each
+        # per-eval float() is a full pipeline drain through the (slow) tunnel,
+        # which turned full-Reddit's 1.63 s training epochs into 5.0 s at
+        # --eval_every 3. Checkpointing (or a fetch cadence of 1) keeps the
+        # old per-eval sync: the best-val state snapshot must be taken AT the
+        # best epoch, before params move on.
+        pending: list[tuple[int, Any, Any, Any, Any]] = []
+        fetch_every = (1 if cfg.checkpoint_every else
+                       max(int(getattr(cfg, "eval_fetch_every", 1)), 1))
 
-        t_start = time.perf_counter()
-        t_steady = None   # wall clock after the first (compiling) step
-        for epoch in range(start_epoch, epochs):
-            rng, dr = jax.random.split(rng)
-            state, loss = self.train_step(state, dr)
-            if cfg.eval_every and (epoch % cfg.eval_every == 0
-                                   or epoch == epochs - 1):
-                tr, va, te = self.eval_step(state["params"],
-                                            state["batch_stats"])
-                loss, tr, va, te = (float(loss), float(tr), float(va),
-                                    float(te))
+        def flush():
+            nonlocal best_val, best_test, best_epoch, best_state
+            if not pending:
+                return
+            rows = jax.device_get([p[1:] for p in pending])
+            for (epoch, *_), (loss, tr, va, te) in zip(pending, rows):
+                loss, tr, va, te = float(loss), float(tr), float(va), float(te)
                 if va > best_val:
                     best_val, best_test, best_epoch = va, te, epoch
                     if cfg.checkpoint_every:
-                        # remember the best-val state (saved at the end) so the
-                        # 'best' checkpoint exists regardless of whether the
-                        # best epoch lands on a checkpoint_every boundary
+                        # remember the best-val state (saved at the end) so
+                        # the 'best' checkpoint exists regardless of whether
+                        # the best epoch lands on a checkpoint_every boundary
                         best_state = jax.device_get(state)
                 rec = EpochRecord(epoch, loss, tr, va, te)
                 history.append(rec)
@@ -296,23 +324,66 @@ class Trainer:
                         "Val Accuracy %.4f | Test Accuracy %.4f | "
                         "Best val. Accuracy %.4f | Best test Accuracy %.4f",
                         epoch, epochs, loss, tr, va, te, best_val, best_test)
+            pending.clear()
+
+        # Epoch batching (VERDICT r3 #4): steps_per_call > 1 runs that many
+        # consecutive train epochs in ONE dispatch (lax.scan, state donated) —
+        # small graphs are tunnel-dispatch-bound, paying a host round-trip per
+        # epoch otherwise. Groups never straddle a host-visible boundary (an
+        # eval epoch or a checkpoint boundary), and the rng split sequence is
+        # identical to unbatched stepping, so results match exactly.
+        spc = max(int(getattr(cfg, "steps_per_call", 1)), 1)
+
+        def group_size(e: int) -> int:
+            n = min(spc, epochs - e)
+            if cfg.eval_every:
+                r = e % cfg.eval_every
+                to_eval = 1 if r == 0 else cfg.eval_every - r + 1
+                n = min(n, to_eval, max(epochs - 1 - e, 0) + 1)
+            if cfg.checkpoint_every:
+                n = min(n, cfg.checkpoint_every - (e % cfg.checkpoint_every))
+            return max(n, 1)
+
+        t_start = time.perf_counter()
+        t_steady = None   # wall clock after the first (compiling) group
+        steady_from = None
+        epoch = start_epoch
+        while epoch < epochs:
+            n = group_size(epoch)
+            if n == 1:
+                rng, dr = jax.random.split(rng)
+                state, loss = self.train_step(state, dr)
+            else:
+                state, rng, loss = self.train_steps(state, rng, n)
+            epoch += n
+            last = epoch - 1    # the epoch whose state we now hold
+            if cfg.eval_every and (last % cfg.eval_every == 0
+                                   or last == epochs - 1):
+                tr, va, te = self.eval_step(state["params"],
+                                            state["batch_stats"])
+                pending.append((last, loss, tr, va, te))
+                if len(pending) >= fetch_every:
+                    flush()
             # periodic checkpointing is independent of the eval cadence
-            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-                ckpt.save_checkpoint(cfg.path, state, epoch + 1,
-                                     is_best=(best_epoch == epoch))
-            if epoch == start_epoch:
+            if cfg.checkpoint_every and (last + 1) % cfg.checkpoint_every == 0:
+                flush()   # best_epoch must be current for is_best
+                ckpt.save_checkpoint(cfg.path, state, last + 1,
+                                     is_best=(best_epoch == last))
+            if t_steady is None:
                 # start the steady-state clock after the FIRST full
-                # iteration — train step AND (if the cadence hits epoch 0)
+                # iteration — train group AND (if the cadence hits it)
                 # eval — so neither compile lands in the measured window
                 jax.block_until_ready(loss)
                 t_steady = time.perf_counter()
+                steady_from = epoch
+        flush()
         jax.block_until_ready(state["params"])
         wall = time.perf_counter() - t_start
         # steady-state epoch time: everything after the first (compiling)
         # step, eval/checkpoint cadence included — the number RESULTS quotes
         steady = ((time.perf_counter() - t_steady)
-                  / max(epochs - start_epoch - 1, 1)
-                  if t_steady is not None and epochs - start_epoch > 1
+                  / max(epochs - steady_from, 1)
+                  if t_steady is not None and epochs - steady_from > 0
                   else None)
         if steady is not None:
             self.logger.info("Steady-state epoch time: %.3f s", steady)

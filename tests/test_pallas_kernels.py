@@ -171,3 +171,37 @@ def test_multiwindow_span_dispatch(rng):
                                   multiwindow=True))
     scale = np.abs(oracle).max() + 1e-6
     assert np.max(np.abs(y16 - oracle)) / scale < 2e-2
+
+
+def test_windowed_classes_plan(rng):
+    """Per-density window classes (graphs/tiles.py::build_tile_plan_classes):
+    disjoint bucket partitions must reproduce the single-plan aggregation
+    exactly through fast path, gradient, CBSR path, and the disk cache."""
+    import tempfile
+    from spgemm_gnn_tpu.graphs.plan_cache import load_plan, save_plan
+    from spgemm_gnn_tpu.graphs.tiles import MultiTilePlan
+    from spgemm_gnn_tpu.kernels.planned import plan_graph
+    g = powerlaw_graph(2500, 60000, seed=3)
+    pgc = plan_graph(g, kind="windowed_classes", tile_slots=256,
+                     src_block=128, dst_block=512)
+    mp = pgc.fwd_plan
+    assert isinstance(mp, MultiTilePlan) and len(mp.plans) >= 2
+    # classes partition the edges exactly
+    assert sum(p.num_edges for p in mp.plans) == g.num_edges
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, DIM)).astype(np.float32))
+    xk = maxk(x, K)
+    y = np.asarray(aggregate_cbsr(pgc, *maxk_cbsr(x, K), DIM, "mean",
+                                  "pallas"))
+    y0 = np.asarray(aggregate_cbsr(g, *maxk_cbsr(x, K), DIM, "mean", "xla"))
+    np.testing.assert_allclose(y, y0, rtol=1e-4, atol=1e-5)
+    from spgemm_gnn_tpu.kernels.api import aggregate
+    ct = jnp.asarray(rng.standard_normal(y0.shape).astype(np.float32))
+    gp = np.asarray(jax.grad(lambda v: (
+        aggregate(pgc, v, norm="mean", k=K, impl="pallas") * ct).sum())(xk))
+    g0 = np.asarray(jax.grad(lambda v: (spmm(g, v, "mean") * ct).sum())(xk))
+    np.testing.assert_allclose(gp, g0, rtol=1e-4, atol=1e-5)
+    with tempfile.TemporaryDirectory() as d:
+        save_plan(d + "/mp.npz", mp)
+        mp2 = load_plan(d + "/mp.npz")
+    assert isinstance(mp2, MultiTilePlan)
+    assert [p.window for p in mp2.plans] == [p.window for p in mp.plans]

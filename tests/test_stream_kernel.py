@@ -222,3 +222,19 @@ def test_stream_cbsr_matches_dense_stream():
     rel = float(np.max(np.abs(np.asarray(y_b16) - np.asarray(y_dense)))
                 / (1e-6 + np.max(np.abs(np.asarray(y_dense)))))
     assert rel < 0.03, rel
+    # dim=256 exercises the uint8 unpack's byte-3 corner (channel ids with
+    # the top bit set ride the arithmetic-shift sign-extension path), and
+    # dim > 256 must be rejected outright (ADVICE r3)
+    dim256 = 256
+    x2 = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (g.num_nodes, dim256)).astype(np.float32))
+    xk2 = maxk(x2, k)
+    v2, c2 = cbsr_from_masked(xk2, k)
+    assert int(np.max(np.asarray(c2))) >= 200   # byte values ≥ 0x80 present
+    y2_dense = stream_spmm(plan, xk2, interpret=True)[:g.num_nodes]
+    y2_cbsr = stream_spmm_cbsr(plan, v2, pack_channels(c2), dim256,
+                               stream="f32", interpret=True)[:g.num_nodes]
+    np.testing.assert_array_equal(np.asarray(y2_cbsr), np.asarray(y2_dense))
+    with np.testing.assert_raises(ValueError):
+        stream_spmm_cbsr(plan, v2, pack_channels(c2), 264, stream="f32",
+                         interpret=True)
