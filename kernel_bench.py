@@ -146,6 +146,13 @@ def main():
                          "real size (HBM guard caps only); the XLA baseline "
                          "and the validation row stay at the standin caps "
                          "and compare per-edge (VERDICT r2 #2)")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="apply the aggregation N times inside ONE jitted "
+                         "dispatch (both impls — fair). A 4-layer model runs "
+                         "8 aggregation directions per jitted train step, so "
+                         "chain>1 reflects what a small dispatch-bound graph "
+                         "(pubmed: 99K edges) actually pays per aggregation "
+                         "in situ; rates are still per-application")
     ap.add_argument("--op", default="spgemm",
                     choices=["spgemm", "maxk", "cbsr"],
                     help="spgemm: aggregation pair; maxk: the standalone "
@@ -330,19 +337,44 @@ def main():
                             pg_full, g_full, vals_full, ch_full, args.dim),
                             6)
 
-                    def fstep(v, _f=fwd, _g=t_graph, _c=t_ch, _k=k):
-                        return v + _f(v, _c, _g)[:, :_k] * 1e-9
+                    if args.chain > 1:
+                        # N applications inside ONE jitted dispatch (see
+                        # --chain help); per-application time reported
+                        def fchain(v, c, gr, _k=k):
+                            for _ in range(args.chain):
+                                v = v + aggregate_cbsr(
+                                    gr, v, c, args.dim, "mean",
+                                    impl)[:, :_k] * 1e-9
+                            return v
+                        jf = jax.jit(fchain)
 
-                    t_f = time_chained(fstep, t_vals, args.iters)
+                        def fstep(v, _g=t_graph, _c=t_ch):
+                            return jf(v, _c, _g)
+                    else:
+                        def fstep(v, _f=fwd, _g=t_graph, _c=t_ch, _k=k):
+                            return v + _f(v, _c, _g)[:, :_k] * 1e-9
 
-                    bwd = jax.jit(jax.grad(lambda v, c, gr, co: (
+                    t_f = time_chained(fstep, t_vals, args.iters) / args.chain
+
+                    grad_once = jax.grad(lambda v, c, gr, co: (
                         aggregate_cbsr(gr, v, c, args.dim, "mean", impl)
-                        * co).sum()))
+                        * co).sum())
+                    if args.chain > 1:
+                        def bchain(v, c, gr, co):
+                            for _ in range(args.chain):
+                                v = v + grad_once(v, c, gr, co) * 1e-9
+                            return v
+                        jb = jax.jit(bchain)
 
-                    def bstep(v, _b=bwd, _g=t_graph, _c=t_ch, _co=t_ct):
-                        return v + _b(v, _c, _g, _co) * 1e-9
+                        def bstep(v, _g=t_graph, _c=t_ch, _co=t_ct):
+                            return jb(v, _c, _g, _co)
+                    else:
+                        bwd = jax.jit(grad_once)
 
-                    t_b = time_chained(bstep, t_vals, args.iters)
+                        def bstep(v, _b=bwd, _g=t_graph, _c=t_ch, _co=t_ct):
+                            return v + _b(v, _c, _g, _co) * 1e-9
+
+                    t_b = time_chained(bstep, t_vals, args.iters) / args.chain
                     row[f"{impl}_fwd_ms"] = round(t_f * 1e3, 3)
                     row[f"{impl}_bwd_ms"] = round(t_b * 1e3, 3)
                     row[f"{impl}_edges"] = t_edges
