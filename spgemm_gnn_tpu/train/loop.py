@@ -78,13 +78,18 @@ class Trainer:
             n_pad = sg.padded_nodes
             node_sh = sg.node_sharding()
 
-            def pad_put(a, fill=0):
+            def pad_put(a, fill=0, cast=None):
+                # cast BEFORE device_put: the tunnel transfer is the scarce
+                # resource (CLAUDE.md), and an f32→bf16 cast on host halves
+                # the feature payload vs casting on device afterwards
                 a = np.asarray(a)
+                if cast is not None:
+                    a = a.astype(cast)
                 out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
                 out[: a.shape[0]] = a
                 return jax.device_put(out, node_sh)
 
-            self.features = pad_put(dataset.features).astype(dtype)
+            self.features = pad_put(dataset.features, cast=dtype)
             self.labels = pad_put(dataset.labels)
             self.masks = tuple(pad_put(m, False) for m in
                                (dataset.train_mask, dataset.val_mask,
