@@ -134,7 +134,9 @@ class Trainer:
         policy/stats machinery mirrors the reference's cache subsystem and is
         exercised through `fetch` in minibatch-style use."""
         if self.config.cache_strategy == "none":
-            return jnp.asarray(dataset.features, dtype)
+            # cast on HOST first so the tunnel moves the narrow dtype
+            # (f32→bf16 halves the payload; see pad_put above)
+            return jnp.asarray(np.asarray(dataset.features, dtype))
         from spgemm_gnn_tpu.graphs.features import make_feature_store
         self.feature_store = make_feature_store(
             dataset.features, policy=self.config.cache_strategy,
