@@ -90,27 +90,47 @@ def cbsr_to_dense(values: jax.Array, channels: jax.Array, dim: int) -> jax.Array
     return out.at[rows, channels].set(values)
 
 
-def pack_channels(channels: jax.Array) -> jax.Array:
-    """Pack 4 uint8 channel ids per int32 lane (hidden dim ≤ 256 — the same
-    bound that makes the reference's `sp_index` uint8, SURVEY.md §2.1 CBSR).
+def pack_channels(channels: jax.Array, dim: int = 256) -> jax.Array:
+    """Pack channel ids into int32 lanes for the multi-chip CBSR exchange
+    payload (VERDICT r1 #8): 4 uint8 ids per lane when `dim` ≤ 256 (the bound
+    that makes the reference's `sp_index` uint8, SURVEY.md §2.1 CBSR — 4×
+    smaller channel half), else 2 uint16 ids per lane (2× — covers yelp's
+    canonical hidden 384, where uint8 packing silently wraps ids ≥ 256;
+    VERDICT r4 weak #1. The reference *shares* the dim ≤ 256 limit,
+    `/root/reference/README_INTEGRATED.md:137-141`; we don't inherit it).
 
-    Used for the multi-chip CBSR exchange payload: the channel half of the
-    payload shrinks 4× (VERDICT r1 #8). Channels must be in [0, 256).
+    `dim` is the hidden dimension the ids index into — it selects the lane
+    width statically; callers that can see ids ≥ 256 MUST pass it.
     """
+    if dim > 65536:
+        raise ValueError(f"pack_channels supports dim <= 65536; got {dim}")
     n, k = channels.shape
-    pad = (-k) % 4
+    per = 4 if dim <= 256 else 2
+    pad = (-k) % per
     if pad:
         channels = jnp.pad(channels, ((0, 0), (0, pad)))
-    c = channels.astype(jnp.uint32).reshape(n, -1, 4)
-    packed = (c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
-              | (c[..., 3] << 24))
+    c = channels.astype(jnp.uint32).reshape(n, -1, per)
+    if per == 4:
+        packed = (c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+                  | (c[..., 3] << 24))
+    else:
+        packed = c[..., 0] | (c[..., 1] << 16)
     return packed.astype(jnp.int32)
 
 
-def unpack_channels(packed: jax.Array, k: int) -> jax.Array:
-    """Inverse of pack_channels → int32 [n, k]."""
+def unpack_channels(packed: jax.Array, k: int, dim: int = 256) -> jax.Array:
+    """Inverse of pack_channels (same `dim` as the pack) → int32 [n, k]."""
     p = packed.astype(jnp.uint32)
-    parts = jnp.stack([p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF,
-                       (p >> 24) & 0xFF], axis=-1)
+    if dim <= 256:
+        parts = jnp.stack([p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF,
+                           (p >> 24) & 0xFF], axis=-1)
+    else:
+        parts = jnp.stack([p & 0xFFFF, (p >> 16) & 0xFFFF], axis=-1)
     n = packed.shape[0]
     return parts.reshape(n, -1)[:, :k].astype(jnp.int32)
+
+
+def packed_channel_words(k: int, dim: int) -> int:
+    """int32 lanes per row of a packed channel payload (comm accounting)."""
+    per = 4 if dim <= 256 else 2
+    return -(-k // per)

@@ -97,14 +97,18 @@ def run_dryrun(n_devices: int, *, n_nodes: int = 256, n_edges: int = 2048,
 # validated against the single-device oracle, comm_stats recorded per config
 # ---------------------------------------------------------------------------
 
-# (name, degree regime → plan kind, exchange k, stream, norm)
+# (name, degree regime → plan kind, exchange k, stream, norm, dim override)
 SWEEP_CONFIGS = (
-    ("windowed_dense_f32_sum",   "dense",  None, "f32",    "sum"),
-    ("windowed_cbsr_f32_mean",   "dense",  8,    "f32",    "mean"),
-    ("windowed_cbsr_bf16_gcn",   "dense",  8,    "bf16x2", "gcn"),
-    ("stream_dense_f32_mean",    "sparse", None, "f32",    "mean"),
-    ("stream_cbsr_bf16_sum",     "sparse", 8,    "bf16x2", "sum"),
-    ("stream_cbsr_f32_gcn",      "sparse", 8,    "f32",    "gcn"),
+    ("windowed_dense_f32_sum",   "dense",  None, "f32",    "sum",  None),
+    ("windowed_cbsr_f32_mean",   "dense",  8,    "f32",    "mean", None),
+    ("windowed_cbsr_bf16_gcn",   "dense",  8,    "bf16x2", "gcn",  None),
+    ("stream_dense_f32_mean",    "sparse", None, "f32",    "mean", None),
+    ("stream_cbsr_bf16_sum",     "sparse", 8,    "bf16x2", "sum",  None),
+    ("stream_cbsr_f32_gcn",      "sparse", 8,    "f32",    "gcn",  None),
+    # yelp-shaped: hidden 384 > 256 forces the uint16×2 channel pack on the
+    # CBSR halo payload — certifies the VERDICT r4 weak-#1 fix in the driver
+    # artifact (uint8 packing silently wrapped ids ≥ 256)
+    ("windowed_cbsr_wide384",    "dense",  8,    "f32",    "mean", 384),
 )
 
 
@@ -133,7 +137,8 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
                    "StackedStream"),
     }
     records = []
-    for name, regime, k, stream, norm in SWEEP_CONFIGS:
+    for name, regime, k, stream, norm, dim_over in SWEEP_CONFIGS:
+        cdim = dim_over or dim
         g, shard_kw, want_kind = graphs[regime]
         sg = shard_planned_graph(g, mesh, tile_slots=128, **shard_kw)
         kinds = sorted({type(r).__name__ for r in
@@ -141,13 +146,13 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
                         if r is not None})
         assert want_kind in kinds, \
             f"{name}: expected {want_kind} shard plans, got {kinds}"
-        x0 = rng.standard_normal((g.num_nodes, dim)).astype(np.float32)
+        x0 = rng.standard_normal((g.num_nodes, cdim)).astype(np.float32)
         x0 = np.asarray(maxk(jnp.asarray(x0), k)) if k else x0
-        ct = rng.standard_normal((g.num_nodes, dim)).astype(np.float32)
+        ct = rng.standard_normal((g.num_nodes, cdim)).astype(np.float32)
         n_pad = sg.padded_nodes
-        xp = np.zeros((n_pad, dim), np.float32)
+        xp = np.zeros((n_pad, cdim), np.float32)
         xp[:g.num_nodes] = x0
-        ctp = np.zeros((n_pad, dim), np.float32)
+        ctp = np.zeros((n_pad, cdim), np.float32)
         ctp[:g.num_nodes] = ct
         xd = jax.device_put(xp, sg.node_sharding())
         ctd = jax.device_put(ctp, sg.node_sharding())
@@ -179,12 +184,12 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
         err_b = float(np.max(np.abs(gx - g_ref)) / (1e-6 + np.max(np.abs(g_ref))))
         ok = err_f < tol and err_b < tol
         rec = {"config": name, "n_devices": n_devices, "plan_kinds": kinds,
-               "k": k, "stream": stream, "norm": norm,
+               "k": k, "dim": cdim, "stream": stream, "norm": norm,
                # the per-shard compaction inside the exchange body is the
                # Pallas kernel (planned_sharded.py), certified by this sweep
                "compact": "cbsr_compact_pallas" if k else None,
                "fwd_relerr": err_f, "bwd_relerr": err_b, "ok": ok,
-               **sg.comm_stats(dim, k)}
+               **sg.comm_stats(cdim, k)}
         records.append(rec)
         assert ok, f"sweep config {name} failed: {rec}"
     return records

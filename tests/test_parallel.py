@@ -87,6 +87,8 @@ def test_dryrun_sweep_matrix():
     kinds = {k for r in recs for k in r["plan_kinds"]}
     assert kinds == {"StackedWindowed", "StackedStream"}
     assert all(r["exchange_bytes"] <= r["full_gather_bytes"] for r in recs)
+    # the yelp-shaped wide config exercises the uint16×2 channel pack
+    assert any(r["dim"] > 256 and r["k"] for r in recs)
 
 
 def test_multihost_helpers():
