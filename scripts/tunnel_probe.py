@@ -33,6 +33,18 @@ def main() -> int:
     devs = jax.devices()
     claim_s = time.time() - t0
 
+    # Guard against a silent CPU fallback (leaked JAX_PLATFORMS=cpu or a
+    # failed axon claim): host-local copies measure at GB/s and would
+    # green-light the very run this probe is meant to gate (ADVICE r4).
+    platform = devs[0].platform.lower()
+    if platform not in ("tpu", "axon"):
+        print(json.dumps({"device": str(devs[0]), "claim_s": round(claim_s, 1),
+                          "ok": False,
+                          "reason": f"resolved platform {platform!r}, not the "
+                                    "axon TPU — probe would measure host-local "
+                                    "copies"}))
+        return 1
+
     a = np.ones((args.mb * 1024 * 1024 // 4,), np.float32)
     t0 = time.time()
     x = jax.device_put(a)
