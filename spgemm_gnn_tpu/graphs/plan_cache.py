@@ -109,6 +109,77 @@ def cached_plan(cache_dir: str | None, key: str, builder):
     return plan
 
 
+def save_shard_host(path: str, host: dict) -> None:
+    """Serialise a mesh-free sharded host build (parallel/planned_sharded.py
+    `_shard_host` output: stacked per-shard role arrays + send schedule +
+    statics) to a DIRECTORY of .npy files + meta.json.
+
+    A directory (not one .npz) so `load_shard_host` can memory-map each
+    array: at products scale the stacked plans are GBs, and this host
+    page-faults fresh memory at ~250 MB/s — mmap hands the pages straight
+    from the page cache to device_put with no host copy (VERDICT r4 #4)."""
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    meta = {"statics": host["statics"], "roles": {},
+            "n_send": len(host["send_idx"])}
+    for name, role in host["roles"].items():
+        if role is None or isinstance(role, str):   # absent or alias marker
+            meta["roles"][name] = role
+            continue
+        meta["roles"][name] = {"kind": role["kind"],
+                               "statics": role["statics"],
+                               "arrays": sorted(role["arrays"])}
+        for f, a in role["arrays"].items():
+            np.save(os.path.join(tmp, f"{name}__{f}.npy"), a)
+    for i, a in enumerate(host["send_idx"]):
+        np.save(os.path.join(tmp, f"send{i}.npy"), a)
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+def load_shard_host(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+
+    def mm(name):
+        return np.load(os.path.join(path, name + ".npy"), mmap_mode="r")
+
+    roles = {}
+    for name, r in meta["roles"].items():
+        if r is None or isinstance(r, str):
+            roles[name] = r
+            continue
+        roles[name] = {"kind": r["kind"], "statics": r["statics"],
+                       "arrays": {f: mm(f"{name}__{f}")
+                                  for f in r["arrays"]}}
+    return {"roles": roles,
+            "send_idx": [mm(f"send{i}") for i in range(meta["n_send"])],
+            "statics": meta["statics"]}
+
+
+def cached_shard_host(cache_dir: str | None, key: str, builder) -> dict:
+    """cached_plan for sharded host builds (corrupt entries rebuild)."""
+    if not cache_dir:
+        return builder()
+    path = os.path.join(cache_dir, f"shard_{key}")
+    if os.path.isdir(path):
+        try:
+            return load_shard_host(path)
+        except Exception:
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
+    host = builder()
+    try:
+        save_shard_host(path, host)
+    except OSError:
+        pass
+    return host
+
+
 # bump when an AUTO-geometry heuristic changes: cache keys carry the given
 # parameters (often None = auto), so a heuristic change would otherwise keep
 # serving plans built under the old rules. v2: stream start-slack windows +

@@ -68,9 +68,15 @@ class Trainer:
             from spgemm_gnn_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(config.mesh_shape)
             if config.impl == "pallas":
+                import os
                 from spgemm_gnn_tpu.parallel.planned_sharded import (
                     shard_planned_graph)
-                sg = shard_planned_graph(dataset.graph, self.mesh)
+                # sharded host builds disk-cache next to the data like the
+                # single-chip plans (generate_meta.py amortisation)
+                cache = (None if config.synthetic
+                         else os.path.join(config.data_path, "plans"))
+                sg = shard_planned_graph(dataset.graph, self.mesh,
+                                         cache_dir=cache)
             else:
                 from spgemm_gnn_tpu.parallel.sharded import shard_graph
                 sg = shard_graph(dataset.graph, self.mesh)

@@ -185,6 +185,87 @@ def test_halo_boundary_sets_are_minimal():
     assert stats["padding_ratio"] < 4.8   # the r3 measured inflation
 
 
+def _host_equal(a, b):
+    assert a["statics"] == b["statics"]
+    assert len(a["send_idx"]) == len(b["send_idx"])
+    for x, y in zip(a["send_idx"], b["send_idx"]):
+        np.testing.assert_array_equal(x, y)
+    assert set(a["roles"]) == set(b["roles"])
+    for name in a["roles"]:
+        ra, rb = a["roles"][name], b["roles"][name]
+        if ra is None or isinstance(ra, str):
+            assert ra == rb
+            continue
+        assert ra["kind"] == rb["kind"] and ra["statics"] == rb["statics"]
+        for f in ra["arrays"]:
+            np.testing.assert_array_equal(ra["arrays"][f], rb["arrays"][f])
+
+
+def test_shard_host_native_bit_identity():
+    """The native-CSR fast path in _csr_from_pairs must produce a
+    bit-identical sharded host build to the numpy lexsort fallback
+    (VERDICT r4 #4 'Done' criterion)."""
+    from spgemm_gnn_tpu.graphs import native
+    from spgemm_gnn_tpu.parallel import planned_sharded as ps
+    if not native.available():
+        pytest.skip("native graphcore unavailable")
+    kw = dict(tile_slots=128, src_block=128, dst_block=128, window=8)
+    for seed, sym in ((31, True), (41, False)):
+        if sym:
+            g = powerlaw_graph(300, 3000, seed=seed)
+        else:
+            from spgemm_gnn_tpu.graphs.synthetic import random_graph
+            g = random_graph(300, 2500, seed=seed, symmetric=False)
+        a = ps._shard_host(g, 4, **kw)
+        orig = ps._csr_from_pairs
+
+        def no_native(dst, src, num_rows):
+            order = np.lexsort((src, dst))
+            dst_o, src_o = dst[order], src[order]
+            ptr = np.zeros(num_rows + 1, np.int64)
+            np.add.at(ptr, dst_o + 1, 1)
+            np.cumsum(ptr, out=ptr)
+            return ptr, src_o.astype(np.int32)
+
+        ps._csr_from_pairs = no_native
+        try:
+            b = ps._shard_host(g, 4, **kw)
+        finally:
+            ps._csr_from_pairs = orig
+        _host_equal(a, b)
+
+
+def test_shard_host_cache_roundtrip(tmp_path):
+    """Disk-cached sharded host builds load bit-identically and produce a
+    working ShardedPlannedGraph."""
+    from spgemm_gnn_tpu.graphs.plan_cache import (load_shard_host,
+                                                  save_shard_host)
+    from spgemm_gnn_tpu.parallel import planned_sharded as ps
+    g = powerlaw_graph(300, 3000, seed=31)
+    kw = dict(tile_slots=128, src_block=128, dst_block=128, window=8)
+    host = ps._shard_host(g, 4, **kw)
+    p = str(tmp_path / "manual_roundtrip")
+    save_shard_host(p, host)
+    _host_equal(host, load_shard_host(p))
+    # end-to-end through the cache_dir path: second build hits the cache and
+    # the aggregate still matches the oracle
+    mesh = make_mesh(4)
+    spg1 = shard_planned_graph(g, mesh, cache_dir=str(tmp_path), **kw)
+    entries = [q for q in tmp_path.glob("shard_*") if q.is_dir()]
+    assert len(entries) == 1
+    spg2 = shard_planned_graph(g, mesh, cache_dir=str(tmp_path), **kw)
+    rng_l = np.random.default_rng(3)
+    x_pad = np.zeros((spg1.padded_nodes, DIM), np.float32)
+    x_pad[:g.num_nodes] = rng_l.standard_normal((g.num_nodes, DIM))
+    y_ref = np.asarray(spmm(g, jnp.asarray(x_pad[:g.num_nodes]), "mean"))
+    for spg in (spg1, spg2):
+        xs = jax.device_put(x_pad, spg.node_sharding())
+        y = np.asarray(jax.jit(lambda xv, s: sharded_planned_aggregate(
+            s, xv, "mean"))(xs, spg))
+        np.testing.assert_allclose(y[:g.num_nodes], y_ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_channel_pack_roundtrip(rng):
     from spgemm_gnn_tpu.ops.maxk import pack_channels, unpack_channels
     for k in (3, 4, 8, 31, 32):
