@@ -54,6 +54,24 @@ SCALES = {
 ROOFLINE_ELEMENTWISE_GBPS = 199.0
 ROOFLINE_GATHER_GBPS = 116.0
 
+# measured pure-MXU time of the kernel's per-chunk one-hot + message dots at
+# dim 256 bf16x2 (KERNEL_ABLATE_r04.jsonl term-by-term ablation; the ~99 ns
+# measured floor adds the un-removable slab/issue overhead) — `mxu_util`
+# reports achieved per-chunk time against this dot bound so "near structural
+# optimum" is a number in the artifact (VERDICT r4 #7)
+MXU_DOT_NS_PER_CHUNK = 62.5
+
+
+def _plan_chunks(plan) -> int:
+    """Total 128-slot chunks one kernel pass executes (incl. padding)."""
+    from spgemm_gnn_tpu.graphs.stream_tiles import StreamPlan
+    from spgemm_gnn_tpu.graphs.tiles import MultiTilePlan
+    if isinstance(plan, MultiTilePlan):
+        return sum(_plan_chunks(p) for p in plan.plans)
+    if isinstance(plan, StreamPlan):
+        return plan.num_groups * plan.group_tiles * plan.tile_slots // 128
+    return plan.num_tiles * plan.tile_slots // 128
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -290,6 +308,17 @@ def main():
               "vs_baseline": round(vs, 3), "stream": args.stream,
               "msg_gbps": round(msg_gbps, 1),
               "roofline_gather_gbps": ROOFLINE_GATHER_GBPS}
+    if "pallas" in res:
+        # MXU utilization: dot-bound time over achieved time, per direction
+        # (the fwd/bwd plans can differ in chunk count on directed graphs)
+        utils = []
+        for d, plan in (("fwd_s", pg.fwd_plan), ("bwd_s", pg.bwd_plan)):
+            t = res["pallas"].get(d)
+            if t:
+                utils.append(_plan_chunks(plan) * MXU_DOT_NS_PER_CHUNK * 1e-9
+                             / t)
+        if utils:
+            result["mxu_util"] = round(sum(utils) / len(utils), 4)
     if "pallas" in res and "ell" in res:
         result["vs_ell"] = round(rate(res["pallas"]) / rate(res["ell"]), 3)
     if "validate_error" in res:
