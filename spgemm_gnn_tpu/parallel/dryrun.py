@@ -193,3 +193,61 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
         records.append(rec)
         assert ok, f"sweep config {name} failed: {rec}"
     return records
+
+
+def run_trajectory_match(n_devices: int, *, epochs: int = 8, hidden: int = 32,
+                         k: int = 4, seed: int = 0) -> dict:
+    """Multi-epoch multi-chip Trainer certification (VERDICT r4 #5): the SAME
+    training config (SAGE MaxK, impl=pallas, eval every epoch, periodic +
+    best-val checkpointing) run on an n-device mesh and on a single device,
+    loss/accuracy trajectories compared epoch by epoch, and the sharded
+    best-val checkpoint restored and re-evaluated. Returns the match record
+    (raises on mismatch — the driver artifact must show ok)."""
+    import shutil
+    import tempfile
+    from spgemm_gnn_tpu.train.config import TrainConfig
+    from spgemm_gnn_tpu.train.loop import Trainer
+
+    base = dict(dataset="flickr", model="sage", nonlinear="maxk", maxk=k,
+                hidden_dim=hidden, hidden_layers=2, dropout=0.0, w_lr=0.01,
+                epochs=epochs, eval_every=1, log_every=0, synthetic=True,
+                synthetic_scale=0.002, seed=seed, impl="pallas",
+                checkpoint_every=max(epochs // 2, 1))
+    runs, dirs = {}, []
+    try:
+        for name, mesh in (("single", 0), ("sharded", n_devices)):
+            path = tempfile.mkdtemp(prefix=f"trajmatch_{name}_")
+            dirs.append(path)
+            cfg = TrainConfig(mesh_shape=mesh, path=path, **base)
+            tr = Trainer(cfg)
+            runs[name] = (tr, tr.run())
+        h1 = runs["single"][1]["history"]
+        h2 = runs["sharded"][1]["history"]
+        assert len(h1) == len(h2) == epochs
+        loss_diff = max(abs(a.loss - b.loss) for a, b in zip(h1, h2))
+        val_diff = max(abs(a.val_acc - b.val_acc) for a, b in zip(h1, h2))
+        # the single/sharded paths differ only in f32 reduction order (and
+        # the halo split); trajectories must stay locked at f32 noise scale
+        ok = loss_diff < 2e-4 and val_diff < 5e-3
+        # restore the sharded best-val checkpoint and re-evaluate: val acc
+        # must reproduce the recorded best (checkpoint/restore exercised
+        # under the mesh, not only single-chip)
+        tr2, res2 = runs["sharded"]
+        import os
+        best_dir = os.path.join(dirs[1], "checkpoints", "best")
+        ck = best_dir if os.path.isdir(best_dir) else dirs[1]
+        _, va, _ = tr2.evaluate_checkpoint(ck)
+        ckpt_diff = abs(va - res2["best_val_accuracy"])
+        ok = ok and ckpt_diff < 1e-6
+        rec = {"trajectory_match": True, "n_devices": n_devices,
+               "epochs": epochs,
+               "max_loss_diff": float(loss_diff),
+               "max_val_acc_diff": float(val_diff),
+               "best_epoch_single": runs["single"][1]["best_epoch"],
+               "best_epoch_sharded": res2["best_epoch"],
+               "ckpt_restore_val_diff": float(ckpt_diff), "ok": ok}
+        assert ok, f"trajectory match failed: {rec}"
+        return rec
+    finally:
+        for p in dirs:
+            shutil.rmtree(p, ignore_errors=True)
