@@ -109,6 +109,9 @@ SWEEP_CONFIGS = (
     # CBSR halo payload — certifies the VERDICT r4 weak-#1 fix in the driver
     # artifact (uint8 packing silently wrapped ids ≥ 256)
     ("windowed_cbsr_wide384",    "dense",  8,    "f32",    "mean", 384),
+    # bf16 halo VALUES (VERDICT r4 #8): the CBSR value half rides the wire
+    # at 2 bytes — ~1.6× smaller payload at k=8, validated at bf16 tolerance
+    ("windowed_cbsr_halo_bf16",  "dense",  8,    "f32",    "mean", None),
 )
 
 
@@ -157,6 +160,7 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
         xd = jax.device_put(xp, sg.node_sharding())
         ctd = jax.device_put(ctp, sg.node_sharding())
 
+        halo_dt = jnp.bfloat16 if name.endswith("halo_bf16") else None
         old = planned_mod.DEFAULT_STREAM
         try:
             planned_mod.DEFAULT_STREAM = stream
@@ -164,10 +168,11 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
             # closure — closures embed as HLO constants and overflow the
             # remote-compile payload on the TPU path (ADVICE r3)
             fwd = jax.jit(lambda xv, s: sharded_planned_aggregate(
-                s, xv, norm, k=k))
+                s, xv, norm, k=k, halo_dtype=halo_dt))
             y = np.asarray(fwd(xd, sg))[:g.num_nodes]
             bwd = jax.jit(jax.grad(lambda xv, s, c: (
-                sharded_planned_aggregate(s, xv, norm, k=k) * c).sum()))
+                sharded_planned_aggregate(s, xv, norm, k=k,
+                                          halo_dtype=halo_dt) * c).sum()))
             gx = np.asarray(bwd(xd, sg, ctd))[:g.num_nodes]
         finally:
             planned_mod.DEFAULT_STREAM = old
@@ -179,17 +184,19 @@ def run_sweep(n_devices: int, *, dim: int = 64, seed: int = 0) -> list[dict]:
         if k:   # gradients compared on the MaxK support (bench/harness.py)
             sup = x0 != 0
             gx, g_ref = gx * sup, g_ref * sup
-        tol = 3e-2 if stream == "bf16x2" else 1e-4
+        tol = 3e-2 if (stream == "bf16x2" or halo_dt is not None) else 1e-4
         err_f = float(np.max(np.abs(y - y_ref)) / (1e-6 + np.max(np.abs(y_ref))))
         err_b = float(np.max(np.abs(gx - g_ref)) / (1e-6 + np.max(np.abs(g_ref))))
         ok = err_f < tol and err_b < tol
         rec = {"config": name, "n_devices": n_devices, "plan_kinds": kinds,
                "k": k, "dim": cdim, "stream": stream, "norm": norm,
+               "halo_dtype": "bf16" if halo_dt is not None else "f32",
                # the per-shard compaction inside the exchange body is the
                # Pallas kernel (planned_sharded.py), certified by this sweep
                "compact": "cbsr_compact_pallas" if k else None,
                "fwd_relerr": err_f, "bwd_relerr": err_b, "ok": ok,
-               **sg.comm_stats(cdim, k)}
+               **sg.comm_stats(cdim, k,
+                               value_bytes=2 if halo_dt is not None else 4)}
         records.append(rec)
         assert ok, f"sweep config {name} failed: {rec}"
     return records

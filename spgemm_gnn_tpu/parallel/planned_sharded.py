@@ -248,12 +248,14 @@ class ShardedPlannedGraph:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
-    def comm_stats(self, dim: int, k: int | None = None) -> dict:
-        """Per-layer exchange volume vs the round-1 full all_gather."""
+    def comm_stats(self, dim: int, k: int | None = None,
+                   value_bytes: int = 4) -> dict:
+        """Per-layer exchange volume vs the round-1 full all_gather.
+        value_bytes: 2 when the CBSR value payload rides bf16 (halo_dtype)."""
         from spgemm_gnn_tpu.ops.maxk import packed_channel_words
         d = self.num_shards
-        row_bytes = (4 * dim if k is None
-                     else 4 * k + packed_channel_words(k, dim) * 4)
+        row_bytes = (value_bytes * dim if k is None
+                     else value_bytes * k + packed_channel_words(k, dim) * 4)
         # each round moves one [M_s, row] payload per shard
         rows_padded = d * sum(self.halo_round_sizes)
         halo_bytes = rows_padded * row_bytes
@@ -521,14 +523,19 @@ def _ones_like_deg(deg):
 
 
 def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
-                              norm: str = "sum",
-                              k: int | None = None) -> jax.Array:
+                              norm: str = "sum", k: int | None = None,
+                              halo_dtype=None) -> jax.Array:
     """y = A_w · x across the mesh: local kernel + boundary-halo exchange.
 
     With k set (MaxK-sparse x), the exchange payload is CBSR-compressed
-    (k values + packed uint8 channels per boundary row). Fully differentiable
+    (k values + packed channel ids per boundary row). Fully differentiable
     by construction — the backward exchange is the transposed ppermute of the
     boundary-sized halo cotangent (see module docstring).
+
+    halo_dtype (e.g. jnp.bfloat16): cast the CBSR *value* half of the
+    exchange payload before the ppermute rounds (VERDICT r4 #8) — the
+    payload shrinks from 4k+channel to 2k+channel bytes/row (~1.6× at k=8).
+    bf16 rounding on boundary values only; exact (None) is the default.
     """
     from spgemm_gnn_tpu.ops.norms import node_factors
     src_f, dst_f = node_factors(spg, norm)
@@ -565,6 +572,10 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
                 # compaction kernel (2.7-4.6x the XLA chain, OPKERNELS_r03)
                 # runs here too — interpret-mode off TPU (VERDICT r3 #3)
                 vals, ch = cbsr_compact_pallas(xs, k)
+                if halo_dtype is not None:
+                    # ride the wire at reduced precision (bf16 halves the
+                    # value half of the payload); widen back on arrival
+                    vals = vals.astype(halo_dtype)
                 # dim-aware pack: uint8×4 lanes when dim ≤ 256, uint16×2
                 # beyond (yelp hidden 384) — uint8 packing at dim > 256
                 # silently wraps ids ≥ 256 (VERDICT r4 weak #1)
@@ -577,7 +588,7 @@ def sharded_planned_aggregate(spg: ShardedPlannedGraph, x: jax.Array,
                     pc.append(jax.lax.ppermute(
                         jnp.take(pch, idx, axis=0), axis, perm(s)))
                 halo = cbsr_to_dense(
-                    jnp.concatenate(pv, 0),
+                    jnp.concatenate(pv, 0).astype(x_blk.dtype),
                     unpack_channels(jnp.concatenate(pc, 0), k, dim), dim)
             else:
                 parts = []

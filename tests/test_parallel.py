@@ -89,6 +89,10 @@ def test_dryrun_sweep_matrix():
     assert all(r["exchange_bytes"] <= r["full_gather_bytes"] for r in recs)
     # the yelp-shaped wide config exercises the uint16×2 channel pack
     assert any(r["dim"] > 256 and r["k"] for r in recs)
+    # bf16 halo values (VERDICT r4 #8): ~1.6× smaller CBSR payload
+    b16 = next(r for r in recs if r["halo_dtype"] == "bf16")
+    f32 = next(r for r in recs if r["config"] == "windowed_cbsr_f32_mean")
+    assert f32["exchange_bytes"] / b16["exchange_bytes"] > 1.5
 
 
 def test_trajectory_match_multichip():
