@@ -32,15 +32,33 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--measure", action="store_true",
                     help="time the kernels on the claimed device")
+    ap.add_argument("--generator", default="powerlaw",
+                    choices=["powerlaw", "sbm", "rmat"],
+                    help="graph family: clustered sbm/rmat carry the LATENT "
+                         "locality real graphs have and uniform power-law "
+                         "provably lacks (VERDICT r4 #2)")
+    ap.add_argument("--p_in", type=float, default=0.7,
+                    help="sbm intra-community edge probability")
+    ap.add_argument("--communities", type=int, default=64)
+    ap.add_argument("--window", type=int, default=None,
+                    help="override plan window: locality recovered by a "
+                         "relabel only pays through a SMALLER window at "
+                         "sustained fill — auto geometry reads global stats")
+    ap.add_argument("--src_block", type=int, default=None)
+    ap.add_argument("--kind", default="auto",
+                    choices=["auto", "windowed", "stream",
+                             "windowed_classes"])
     args = ap.parse_args()
 
     from bench import SCALES
-    from spgemm_gnn_tpu.bench.harness import _cached_powerlaw, bench_impl
+    from spgemm_gnn_tpu.bench.harness import _cached_graph, bench_impl
     from spgemm_gnn_tpu.graphs.relabel import relabel_graph
     from spgemm_gnn_tpu.kernels.planned import plan_graph
 
     n_nodes, n_edges = SCALES[args.scale]
-    g0 = _cached_powerlaw(n_nodes, n_edges // 2, 0)
+    genkw = (dict(p_in=args.p_in, communities=args.communities)
+             if args.generator == "sbm" else {})
+    g0 = _cached_graph(args.generator, n_nodes, n_edges // 2, 0, **genkw)
 
     for order in args.orders:
         t0 = time.time()
@@ -50,10 +68,16 @@ def main():
             g, perm = relabel_graph(g0, order)
         t_rel = time.time() - t0
         t0 = time.time()
-        pg = plan_graph(g, cache_dir=None)
+        plan_kw = {"kind": args.kind}
+        if args.window:
+            plan_kw["window"] = args.window
+        if args.src_block:
+            plan_kw["src_block"] = args.src_block
+        pg = plan_graph(g, cache_dir=None, **plan_kw)
         t_plan = time.time() - t0
         p = pg.fwd_plan
         rec = {"order": order, "scale": args.scale,
+               "generator": args.generator,
                "num_edges": g.num_edges, "plan_kind": type(p).__name__,
                "fill": round(float(p.fill), 4),
                "relabel_s": round(t_rel, 2), "plan_s": round(t_plan, 2)}

@@ -44,18 +44,32 @@ def time_chained(step: Callable[[Any], Any], x0: Any, iters: int = 8,
     return (time.perf_counter() - t0) / iters
 
 
-def _cached_powerlaw(n_nodes: int, n_edges: int, seed: int):
+def _cached_graph(generator: str, n_nodes: int, n_edges: int, seed: int,
+                  **genkw):
     """Disk-cached synthetic graph (bench graphs are expensive to rebuild and
-    the driver reruns bench.py in a fresh process)."""
+    the driver reruns bench.py in a fresh process). generator: "powerlaw"
+    (uniform hub-skew) or the clustered families "sbm" / "rmat"
+    (graphs/synthetic.py, VERDICT r4 #2)."""
     import os
     from spgemm_gnn_tpu.graphs.csr import from_edges
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".bench_cache")
-    path = os.path.join(cache_dir, f"pl_{n_nodes}_{n_edges}_{seed}.npz")
+    tag = "pl" if generator == "powerlaw" else generator + "_".join(
+        f"{k}{v}" for k, v in sorted(genkw.items()))
+    path = os.path.join(cache_dir, f"{tag}_{n_nodes}_{n_edges}_{seed}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return from_edges(z["src"], z["dst"], int(z["n"]), symmetric=True)
-    g = powerlaw_graph(n_nodes, n_edges, seed=seed)
+    if generator == "powerlaw":
+        g = powerlaw_graph(n_nodes, n_edges, seed=seed)
+    elif generator == "sbm":
+        from spgemm_gnn_tpu.graphs.synthetic import sbm_graph
+        g = sbm_graph(n_nodes, n_edges, seed=seed, **genkw)
+    elif generator == "rmat":
+        from spgemm_gnn_tpu.graphs.synthetic import rmat_graph
+        g = rmat_graph(n_nodes, n_edges, seed=seed, **genkw)
+    else:
+        raise ValueError(f"unknown generator {generator!r}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, src=np.asarray(g.indices), dst=np.asarray(g.edge_dst),
@@ -63,6 +77,10 @@ def _cached_powerlaw(n_nodes: int, n_edges: int, seed: int):
     except OSError:
         pass
     return g
+
+
+def _cached_powerlaw(n_nodes: int, n_edges: int, seed: int):
+    return _cached_graph("powerlaw", n_nodes, n_edges, seed)
 
 
 def _bench_inputs(n_nodes: int, n_edges: int, dim: int, k: int, seed: int,

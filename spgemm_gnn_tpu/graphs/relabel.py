@@ -23,6 +23,13 @@ Orders:
   each level, order reversed) — the classic bandwidth-minimising order.
 - "degree-bfs": BFS whose frontier expansion is seeded and tie-ordered by
   descending degree — hub locality AND neighborhood locality.
+- "labelprop": community recovery by synchronous label propagation, nodes
+  ordered by (community, descending degree). BFS/RCM are bandwidth
+  orderings whose level sets leak across communities when a meaningful
+  fraction of edges is inter-community (measured on the SBM stand-ins:
+  degree-BFS recovers only ~3× of the random intra-block fraction where
+  label propagation recovers the construction-level locality) — this is
+  the order for latently-clustered graphs (VERDICT r4 #2).
 """
 from __future__ import annotations
 
@@ -30,7 +37,44 @@ import numpy as np
 
 from spgemm_gnn_tpu.graphs.csr import Graph, from_edges
 
-ORDERS = ("degree", "bfs", "rcm", "degree-bfs")
+ORDERS = ("degree", "bfs", "rcm", "degree-bfs", "labelprop")
+
+
+def _labelprop_labels(indptr: np.ndarray, indices: np.ndarray,
+                      num_nodes: int, iters: int = 8) -> np.ndarray:
+    """Synchronous label propagation: each sweep every node adopts the most
+    frequent label among its neighbors (ties → smallest label; isolated
+    nodes keep their own). Vectorised: one lexsort over (dst, label) per
+    sweep + run-length mode per row."""
+    dst = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    src = np.asarray(indices, np.int64)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    for _ in range(iters):
+        lab = labels[src]
+        order = np.lexsort((lab, dst))
+        d_o, l_o = dst[order], lab[order]
+        # run starts of equal (dst, label) pairs
+        new_run = np.r_[True, (d_o[1:] != d_o[:-1]) | (l_o[1:] != l_o[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        counts = np.bincount(run_id)
+        run_dst = d_o[new_run]
+        run_lab = l_o[new_run]
+        # per dst, the run with the max count (ties → first = smallest label
+        # since runs are label-sorted within a dst)
+        best = np.full(num_nodes, -1, np.int64)
+        best_cnt = np.zeros(num_nodes, np.int64)
+        # reverse iteration-free argmax per group: sort runs by (dst, count,
+        # -label) and take the last per dst? simpler: lexsort by (label desc
+        # handled via first-wins) — use np.maximum.at on counts then match
+        np.maximum.at(best_cnt, run_dst, counts)
+        is_best = counts == best_cnt[run_dst]
+        # first best run per dst wins (smallest label): reversed write order
+        best[run_dst[is_best][::-1]] = run_lab[is_best][::-1]
+        new_labels = np.where(best >= 0, best, labels)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
 
 
 def _bfs_order(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
@@ -94,6 +138,15 @@ def relabel_order(g: Graph, order: str = "degree-bfs") -> np.ndarray:
     if order == "degree-bfs":
         return _bfs_order(indptr, indices, g.num_nodes, by_deg_desc,
                           level_sort="desc")
+    if order == "labelprop":
+        labels = _labelprop_labels(indptr, indices, g.num_nodes)
+        # communities ordered by size (largest first — hub communities
+        # front-load the resident source blocks), nodes by degree within
+        sizes = np.bincount(labels, minlength=g.num_nodes)
+        # lexsort: the LAST key is primary — (-community size, label,
+        # -degree, old id)
+        return np.lexsort((np.arange(g.num_nodes), -deg,
+                           labels, -sizes[labels]))
     raise ValueError(f"unknown relabel order {order!r}; expected {ORDERS}")
 
 

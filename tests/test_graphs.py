@@ -82,3 +82,49 @@ def test_neighbors_sorted(small_graph):
     for v in range(0, g.num_nodes, 7):
         row = indices[indptr[v]:indptr[v + 1]]
         assert (np.diff(row) >= 0).all()
+
+
+def test_sbm_graph_latent_clustering():
+    """SBM stand-in (VERDICT r4 #2): shuffled ids hide the communities; a
+    label-propagation relabel recovers block locality the uniform power-law
+    provably lacks (bandwidth orders like degree-BFS leak across
+    communities at p_in 0.7 — measured, see graphs/relabel.py)."""
+    from spgemm_gnn_tpu.graphs.relabel import relabel_graph
+    from spgemm_gnn_tpu.graphs.synthetic import (intra_block_fraction,
+                                                 sbm_graph)
+    g = sbm_graph(2000, 20000, communities=32, p_in=0.7, seed=0)
+    assert g.symmetric
+    deg = np.asarray(g.in_degrees)
+    assert deg.max() > 5 * max(deg.mean(), 1)          # still hub-heavy
+    block = 128
+    f_shuffled = intra_block_fraction(g, block)
+    rg, _ = relabel_graph(g, "labelprop")
+    f_relabel = intra_block_fraction(rg, block)
+    # shuffled ≈ random expectation; relabel recovers real locality
+    assert f_shuffled < 0.15
+    assert f_relabel > 2.5 * f_shuffled
+    # the uniform power-law gains far less from the same relabel
+    gp = powerlaw_graph(2000, 20000, seed=0)
+    rp, _ = relabel_graph(gp, "labelprop")
+    gain_pl = intra_block_fraction(rp, block) / max(
+        intra_block_fraction(gp, block), 1e-9)
+    gain_sbm = f_relabel / f_shuffled
+    assert gain_sbm > 1.5 * gain_pl
+
+
+def test_rmat_graph_latent_clustering():
+    from spgemm_gnn_tpu.graphs.relabel import relabel_graph
+    from spgemm_gnn_tpu.graphs.synthetic import (intra_block_fraction,
+                                                 rmat_graph)
+    g = rmat_graph(2048, 20000, seed=0)
+    assert g.symmetric
+    deg = np.asarray(g.in_degrees)
+    assert deg.max() > 5 * max(deg.mean(), 1)
+    # unshuffled R-MAT has id-contiguous self-similar locality; the shuffled
+    # default hides it
+    g_raw = rmat_graph(2048, 20000, seed=0, shuffle=False)
+    f_raw = intra_block_fraction(g_raw, 128)
+    f_shuf = intra_block_fraction(g, 128)
+    assert f_raw > 1.3 * f_shuf   # R-MAT id-locality is real but mild
+    rg, _ = relabel_graph(g, "degree-bfs")
+    assert intra_block_fraction(rg, 128) > 2.5 * f_shuf

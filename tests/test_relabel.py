@@ -50,3 +50,25 @@ def test_degree_order_concentrates_hubs():
         rg, perm = relabel_graph(g, order)
         first, rest = deg[perm[:40]].mean(), deg[perm[40:]].mean()
         assert first > 2 * rest, (order, first, rest)
+
+
+def test_labelprop_recovers_latent_communities():
+    """Label propagation recovers SBM communities that BFS orders leak
+    (VERDICT r4 #2): intra-block locality after 'labelprop' approaches the
+    construction level; the permutation is valid (aggregation-invariant)."""
+    from spgemm_gnn_tpu.graphs.synthetic import (intra_block_fraction,
+                                                 sbm_graph)
+    from spgemm_gnn_tpu.ops.spmm import spmm
+    g = sbm_graph(4000, 40000, communities=32, p_in=0.7, seed=2)
+    f0 = intra_block_fraction(g, 128)
+    rg, perm = relabel_graph(g, "labelprop")
+    f1 = intra_block_fraction(rg, 128)
+    assert f1 > 5 * f0, (f0, f1)
+    # BFS leaks: labelprop must beat it clearly on this family
+    rb, _ = relabel_graph(g, "degree-bfs")
+    assert f1 > 2 * intra_block_fraction(rb, 128)
+    # the permutation is a real relabeling: aggregation commutes
+    x = np.random.default_rng(0).standard_normal((g.num_nodes, 8), np.float32)
+    y = np.asarray(spmm(g, jnp.asarray(x), norm="mean"))
+    y_r = np.asarray(spmm(rg, jnp.asarray(x[perm]), norm="mean"))
+    np.testing.assert_allclose(y_r, y[perm], rtol=2e-5, atol=1e-5)
