@@ -42,7 +42,7 @@ ICI_GBPS = 100.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="MULTICHIP_r04.json")
+    ap.add_argument("--out", default="MULTICHIP_r05.json")
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--exec_feat", type=int, default=16)
@@ -67,12 +67,24 @@ def main():
 
     out = {"n": g.num_nodes, "e_directed": g.num_edges, "scale": args.scale}
 
-    # 1+2: 8-shard plan build + comm stats
+    # 1+2: 8-shard plan build + comm stats (cold, then the r5 disk cache:
+    # cached rebuilds are per-job startup cost at real multi-host scale)
+    import tempfile
     mesh = make_mesh(8)
     t0 = time.perf_counter()
     spg = shard_planned_graph(g, mesh)
     out["shard_build_s"] = round(time.perf_counter() - t0, 1)
+    cache_dir = tempfile.mkdtemp(prefix="shardcache_")
+    t0 = time.perf_counter()
+    shard_planned_graph(g, mesh, cache_dir=cache_dir)
+    out["shard_build_save_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    shard_planned_graph(g, mesh, cache_dir=cache_dir)
+    out["shard_build_cached_s"] = round(time.perf_counter() - t0, 1)
+    log(f"cached rebuild {out['shard_build_cached_s']}s")
     stats = spg.comm_stats(args.dim, k=args.k)
+    out["comm_stats_halo_bf16"] = spg.comm_stats(args.dim, k=args.k,
+                                                 value_bytes=2)
     kinds = sorted({type(r).__name__ for r in
                     (spg.fwd_local, spg.bwd_local, spg.fwd_halo, spg.bwd_halo)
                     if r is not None})
@@ -100,6 +112,15 @@ def main():
     out["xla_step_loss"] = float(loss)
     log(f"executed XLA 8-shard step at full scale in "
         f"{out['xla_step_executed_s']}s (loss {loss:.4f})")
+
+    # 3b: multi-epoch sharded-vs-single trajectory match with eval +
+    # checkpoint + best-val exercised (VERDICT r4 #5), medium scale on the
+    # Pallas halo path (interpret-mode on CPU)
+    from spgemm_gnn_tpu.parallel.dryrun import run_trajectory_match
+    t0 = time.perf_counter()
+    out["trajectory_match"] = run_trajectory_match(8)
+    out["trajectory_match"]["wall_s"] = round(time.perf_counter() - t0, 1)
+    log(f"trajectory match: {out['trajectory_match']}")
 
     # 4: AOT-compile the Pallas multi-chip aggregation fwd+bwd per shard count
     import jax.numpy as jnp
