@@ -43,13 +43,17 @@ ORDERS = ("degree", "bfs", "rcm", "degree-bfs", "labelprop")
 def _labelprop_labels(indptr: np.ndarray, indices: np.ndarray,
                       num_nodes: int, iters: int = 8) -> np.ndarray:
     """Synchronous label propagation: each sweep every node adopts the most
-    frequent label among its neighbors (ties → smallest label; isolated
-    nodes keep their own). Vectorised: one lexsort over (dst, label) per
-    sweep + run-length mode per row."""
+    frequent label among its neighbors. Ties break by a per-sweep keyed hash
+    of the label — NOT min-label: on a dense graph every neighbor label is
+    distinct in sweep 1 (all counts 1), so a min tie-break turns the sweep
+    into epidemic minimum propagation and one label floods half the graph
+    (measured on the full-scale SBM: a 120K/233K-node label after 2 sweeps).
+    Randomised ties coalesce labels locally instead, the standard LPA fix.
+    Vectorised: one lexsort over (dst, label) per sweep + run-length mode."""
     dst = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
     src = np.asarray(indices, np.int64)
     labels = np.arange(num_nodes, dtype=np.int64)
-    for _ in range(iters):
+    for it in range(iters):
         lab = labels[src]
         order = np.lexsort((lab, dst))
         d_o, l_o = dst[order], lab[order]
@@ -59,17 +63,17 @@ def _labelprop_labels(indptr: np.ndarray, indices: np.ndarray,
         counts = np.bincount(run_id)
         run_dst = d_o[new_run]
         run_lab = l_o[new_run]
-        # per dst, the run with the max count (ties → first = smallest label
-        # since runs are label-sorted within a dst)
-        best = np.full(num_nodes, -1, np.int64)
+        # per dst: max count, then min keyed hash among the max-count runs
         best_cnt = np.zeros(num_nodes, np.int64)
-        # reverse iteration-free argmax per group: sort runs by (dst, count,
-        # -label) and take the last per dst? simpler: lexsort by (label desc
-        # handled via first-wins) — use np.maximum.at on counts then match
         np.maximum.at(best_cnt, run_dst, counts)
         is_best = counts == best_cnt[run_dst]
-        # first best run per dst wins (smallest label): reversed write order
-        best[run_dst[is_best][::-1]] = run_lab[is_best][::-1]
+        key = (run_lab[is_best] * np.int64(2654435761)
+               + np.int64(it) * np.int64(0x9E3779B9)) & np.int64(0x7FFFFFFF)
+        best_key = np.full(num_nodes, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best_key, run_dst[is_best], key)
+        win = key == best_key[run_dst[is_best]]
+        best = np.full(num_nodes, -1, np.int64)
+        best[run_dst[is_best][win]] = run_lab[is_best][win]
         new_labels = np.where(best >= 0, best, labels)
         if np.array_equal(new_labels, labels):
             break
