@@ -1,0 +1,120 @@
+"""Clustered-graph kernel frontier A/B (VERDICT r4 #2 re-litigation).
+
+Measures the windowed Pallas kernel on a full-Reddit-scale SBM stand-in with
+LATENT community structure (graphs/synthetic.py::sbm_graph), in three arms:
+
+  1. none      — shuffled ids, auto plan geometry (the r3/r4 frontier setup);
+  2. labelprop — community-recovering relabel (graphs/relabel.py), auto
+                 geometry (isolates the pure relabel effect);
+  3. labelprop + small-window geometries — the λ-recovery payoff the cost
+     model predicts: λ_local = p_in·deg·B/s (s = community size), so fine
+     communities (s ≲ p_in·deg·B/8) sustain full chunks at RW 8–32 where the
+     shuffled graph collapses to ~3–5% fill.
+
+Relabeled edge lists are read from .bench_cache/*.npz when present (the
+300 s labelprop pass is host-side, done once by the CPU prep run) so the
+TPU session only builds plans and times kernels.
+
+  timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/clustered_frontier.py --communities 512 \
+      --geometries auto 8x128 16x128 32x128
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=232965)
+    ap.add_argument("--e", type=int, default=57000000)
+    ap.add_argument("--communities", type=int, default=512)
+    ap.add_argument("--p_in", type=float, default=0.7)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--geometries", nargs="*", default=["auto", "16x128"],
+                    help="'auto' or RWxB pairs for the labelprop arm")
+    ap.add_argument("--no-measure", action="store_true",
+                    help="plan fills only (host, no device)")
+    args = ap.parse_args()
+
+    from spgemm_gnn_tpu.bench.harness import _cached_graph, bench_impl
+    from spgemm_gnn_tpu.graphs.csr import from_edges
+    from spgemm_gnn_tpu.graphs.relabel import relabel_graph
+    from spgemm_gnn_tpu.kernels.planned import plan_graph
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    g = _cached_graph("sbm", args.n, args.e, 0, p_in=args.p_in,
+                      communities=args.communities)
+    log(f"graph N={g.num_nodes} E={g.num_edges}")
+    tag = ("sbm_full_labelprop.npz" if args.communities == 64
+           else f"sbm_full_c{args.communities}_labelprop.npz")
+    rel_path = os.path.join(cache_dir, tag)
+    if os.path.exists(rel_path):
+        z = np.load(rel_path)
+        rg = from_edges(z["src"], z["dst"], int(z["n"]), symmetric=True)
+        log("relabel: cached")
+    else:
+        t0 = time.time()
+        rg, _ = relabel_graph(g, "labelprop")
+        log(f"relabel {time.time()-t0:.0f}s")
+        np.savez(rel_path, src=np.asarray(rg.indices),
+                 dst=np.asarray(rg.edge_dst), n=rg.num_nodes)
+
+    def bench_one(name, gg, geometry):
+        t0 = time.time()
+        if geometry == "auto":
+            pg = plan_graph(gg)
+        elif geometry == "classes":
+            pg = plan_graph(gg, kind="windowed_classes")
+        else:
+            rw, b = (int(x) for x in geometry.split("x"))
+            pg = plan_graph(gg, kind="windowed", window=rw, src_block=b)
+        p = pg.fwd_plan
+        rec = {"arm": name, "geometry": geometry,
+               "plan_kind": type(p).__name__,
+               "fill": round(float(p.fill), 4),
+               "plan_s": round(time.time() - t0, 1)}
+        if hasattr(p, "window"):
+            rec.update(RW=p.window, B=getattr(p, "src_block", None))
+        if not args.no_measure:
+            import jax
+            import jax.numpy as jnp
+            from spgemm_gnn_tpu.kernels import planned
+            from spgemm_gnn_tpu.ops.maxk import maxk
+            planned.DEFAULT_STREAM = "bf16x2"
+            key = jax.random.PRNGKey(0)
+            xk = maxk(jax.random.normal(key, (gg.num_nodes, args.dim),
+                                        jnp.float32), args.k)
+            ct = jax.random.normal(jax.random.fold_in(key, 1),
+                                   (gg.num_nodes, args.dim), jnp.float32)
+            r = bench_impl(gg, pg, xk, ct, args.dim, args.k, "mean",
+                           "pallas", iters=args.iters)
+            rec.update(fwd_gedges=round(r["fwd_gedges"], 4),
+                       bwd_gedges=round(r["bwd_gedges"], 4),
+                       hmean_gedges=round(
+                           2 / (1 / r["fwd_gedges"] + 1 / r["bwd_gedges"]),
+                           4))
+        print(json.dumps(rec), flush=True)
+
+    bench_one("none", g, "auto")
+    for geo in args.geometries:
+        bench_one("labelprop", rg, geo)
+
+
+if __name__ == "__main__":
+    main()
