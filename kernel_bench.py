@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--validate", action="store_true",
                     help="check pallas vs xla allclose before timing")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    ap.add_argument("--generator", default="powerlaw",
+                    choices=["powerlaw", "sbm", "rmat"],
+                    help="synthetic family for corpus stand-ins: sbm/rmat "
+                         "carry latent community structure (VERDICT r4 #2)")
     ap.add_argument("--stream", default="f32", choices=["f32", "bf16x2"],
                     help="Pallas feature-stream precision (f32 default for "
                          "exact oracle comparisons)")
@@ -246,23 +250,23 @@ def main():
     def run_graph(gname):
         meta = {}
         g_full = None                  # --pallas-full: real-size pallas graph
+        from spgemm_gnn_tpu.bench.harness import _cached_graph
+        gen = args.generator
         if gname in SYNTH_CORPUS:
             n, e = SYNTH_CORPUS[gname]
-            from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
-            g = _cached_powerlaw(n, e // 2, 0)
+            g = _cached_graph(gen, n, e // 2, 0)
         elif gname in CORPUS_24_REF:
             n, e, s = corpus24_standin(gname)
-            from spgemm_gnn_tpu.bench.harness import _cached_powerlaw
-            g = _cached_powerlaw(n, e // 2, 0)
+            g = _cached_graph(gen, n, e // 2, 0)
             meta = {"ref_nodes": CORPUS_24_REF[gname][0],
                     "ref_edges": CORPUS_24_REF[gname][1],
-                    "scale": round(s, 4)}
+                    "scale": round(s, 4), "generator": gen}
             if args.pallas_full:
                 nf, ef, sf = corpus24_standin(
                     gname, edge_cap=PALLAS_EDGE_CAP, node_cap=PALLAS_NODE_CAP)
                 meta["pallas_scale"] = round(sf, 4)
                 if (nf, ef) != (n, e):
-                    g_full = _cached_powerlaw(nf, ef // 2, 0)
+                    g_full = _cached_graph(gen, nf, ef // 2, 0)
         else:
             from spgemm_gnn_tpu.graphs.datasets import load_dataset
             g = load_dataset(gname, args.data_path).graph
