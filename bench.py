@@ -308,9 +308,12 @@ def main():
               "vs_baseline": round(vs, 3), "stream": args.stream,
               "msg_gbps": round(msg_gbps, 1),
               "roofline_gather_gbps": ROOFLINE_GATHER_GBPS}
-    if "pallas" in res:
-        # MXU utilization: dot-bound time over achieved time, per direction
-        # (the fwd/bwd plans can differ in chunk count on directed graphs)
+    # MXU utilization: dot-bound time over achieved time, per direction
+    # (the fwd/bwd plans can differ in chunk count on directed graphs).
+    # Emitted ONLY at the calibrated config — the 62.5 ns/chunk bound was
+    # measured at dim 256 / bf16x2 (KERNEL_ABLATE_r04) and would be silently
+    # wrong for other dims/streams (code review r5).
+    if "pallas" in res and args.dim == 256 and args.stream == "bf16x2":
         utils = []
         for d, plan in (("fwd_s", pg.fwd_plan), ("bwd_s", pg.bwd_plan)):
             t = res["pallas"].get(d)

@@ -255,6 +255,7 @@ def main():
         if gname in SYNTH_CORPUS:
             n, e = SYNTH_CORPUS[gname]
             g = _cached_graph(gen, n, e // 2, 0)
+            meta = {"generator": gen}
         elif gname in CORPUS_24_REF:
             n, e, s = corpus24_standin(gname)
             g = _cached_graph(gen, n, e // 2, 0)

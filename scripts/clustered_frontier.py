@@ -61,8 +61,11 @@ def main():
     g = _cached_graph("sbm", args.n, args.e, 0, p_in=args.p_in,
                       communities=args.communities)
     log(f"graph N={g.num_nodes} E={g.num_edges}")
-    tag = ("sbm_full_labelprop.npz" if args.communities == 64
-           else f"sbm_full_c{args.communities}_labelprop.npz")
+    # cache key carries the FULL graph identity (n/e/p_in/communities) — a
+    # key on communities alone can load a relabel of a different graph and
+    # silently A/B two different graphs (code review r5)
+    tag = (f"sbm_n{args.n}_e{args.e}_p{args.p_in}_c{args.communities}"
+           "_labelprop.npz")
     rel_path = os.path.join(cache_dir, tag)
     if os.path.exists(rel_path):
         z = np.load(rel_path)

@@ -75,12 +75,16 @@ def main():
     spg = shard_planned_graph(g, mesh)
     out["shard_build_s"] = round(time.perf_counter() - t0, 1)
     cache_dir = tempfile.mkdtemp(prefix="shardcache_")
-    t0 = time.perf_counter()
-    shard_planned_graph(g, mesh, cache_dir=cache_dir)
-    out["shard_build_save_s"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    shard_planned_graph(g, mesh, cache_dir=cache_dir)
-    out["shard_build_cached_s"] = round(time.perf_counter() - t0, 1)
+    try:
+        t0 = time.perf_counter()
+        shard_planned_graph(g, mesh, cache_dir=cache_dir)
+        out["shard_build_save_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        shard_planned_graph(g, mesh, cache_dir=cache_dir)
+        out["shard_build_cached_s"] = round(time.perf_counter() - t0, 1)
+    finally:
+        import shutil
+        shutil.rmtree(cache_dir, ignore_errors=True)
     log(f"cached rebuild {out['shard_build_cached_s']}s")
     stats = spg.comm_stats(args.dim, k=args.k)
     out["comm_stats_halo_bf16"] = spg.comm_stats(args.dim, k=args.k,

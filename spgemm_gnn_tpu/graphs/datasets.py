@@ -71,11 +71,16 @@ def load_dataset(name: str, data_path: str = "./data", *,
                  self_loop: bool = False,
                  allow_synthetic: bool = False,
                  synthetic_scale: float = 1.0,
-                 seed: int = 0) -> Dataset:
+                 seed: int = 0,
+                 synthetic_payload: bool = True) -> Dataset:
     """Load a dataset from npz, optionally falling back to a synthetic stand-in.
 
     self_loop applies the remove-then-add transform
     (reference maxk_gnn_dgl.py:221-223 AddSelfLoop / :293 add_self_loop).
+    synthetic_payload=False skips the host-side feature/label signal
+    construction of the synthetic branch (zeros placeholders with correct
+    shapes/dtypes) — for --device_inputs runs, where features/labels are
+    synthesized on device and the 0.5-0.9 GB host build would be discarded.
     """
     if name not in DATASETS:
         raise ValueError(f"unknown dataset {name!r}; expected one of {DATASETS}")
@@ -83,7 +88,8 @@ def load_dataset(name: str, data_path: str = "./data", *,
     if os.path.exists(path):
         ds = _load_npz(name, path)
     elif allow_synthetic:
-        ds = _synthetic_dataset(name, scale=synthetic_scale, seed=seed)
+        ds = _synthetic_dataset(name, scale=synthetic_scale, seed=seed,
+                                payload=synthetic_payload)
     else:
         raise FileNotFoundError(
             f"{path} not found. Produce it with scripts/convert_to_npz.py on a "
@@ -122,15 +128,35 @@ def _load_npz(name: str, path: str) -> Dataset:
     )
 
 
-def _synthetic_dataset(name: str, scale: float = 1.0, seed: int = 0) -> Dataset:
+def _synthetic_dataset(name: str, scale: float = 1.0, seed: int = 0,
+                       payload: bool = True) -> Dataset:
     """Structural stand-in: matching-N/E power-law graph, random features, random
-    labels with a planted linear signal so training curves are non-trivial."""
+    labels with a planted linear signal so training curves are non-trivial.
+
+    payload=False: zeros placeholders for features/labels (calloc — no host
+    cost); masks and graph are built as usual. For device-input runs."""
     spec = SYNTH_SPECS[name]
     n = max(int(spec["n"] * scale), 128)
     e = max(int(spec["e"] * scale), 512)
     f, c = spec["f"], spec["c"]
     graph = powerlaw_graph(n, e // 2, seed=seed)
     rng = np.random.default_rng(seed + 1)
+    if not payload:
+        multilabel = name in MULTILABEL
+        feat = np.zeros((n, f), np.float32)
+        labels = (np.zeros((n, c), np.float32) if multilabel
+                  else np.zeros(n, np.int64))
+        idx = rng.permutation(n)
+        train_mask = np.zeros(n, bool)
+        train_mask[idx[: int(0.6 * n)]] = True
+        val_mask = np.zeros(n, bool)
+        val_mask[idx[int(0.6 * n): int(0.8 * n)]] = True
+        test_mask = np.zeros(n, bool)
+        test_mask[idx[int(0.8 * n):]] = True
+        return Dataset(name=name, graph=graph, features=feat, labels=labels,
+                       train_mask=train_mask, val_mask=val_mask,
+                       test_mask=test_mask, num_classes=c,
+                       multilabel=multilabel)
     feat = rng.standard_normal((n, f), dtype=np.float32)
     # planted signal = class centroids in a low-rank feature subspace. The
     # r1/r2 signal (argmax of a random projection of the WHOLE feature

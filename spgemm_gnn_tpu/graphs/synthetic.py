@@ -44,12 +44,28 @@ def sbm_graph(num_nodes: int, num_edges: int, *, communities: int = 64,
     like Reddit (`/root/reference/README.md:72-78`), whose community
     structure this generator imitates at matched N/E/degree.
     """
+    if communities > num_nodes:
+        raise ValueError("communities cannot exceed num_nodes")
     rng = np.random.default_rng(seed)
-    # power-law community sizes
+    # power-law community sizes; exact-total correction spreads any deficit
+    # over the largest entries (a single sizes[0] += diff can go NEGATIVE
+    # when communities is large relative to num_nodes, silently breaking
+    # the bounds monotonicity searchsorted depends on)
     w = np.arange(1, communities + 1, dtype=np.float64) ** -0.8
     sizes = np.maximum((w / w.sum() * num_nodes).astype(np.int64), 1)
-    sizes[0] += num_nodes - sizes.sum()          # exact total
+    diff = num_nodes - int(sizes.sum())
+    i = 0
+    while diff != 0:
+        if diff > 0:
+            sizes[i] += diff
+            diff = 0
+        else:
+            take = min(int(sizes[i]) - 1, -diff)
+            sizes[i] -= take
+            diff += take
+            i += 1
     bounds = np.concatenate([[0], np.cumsum(sizes)])
+    assert bounds[-1] == num_nodes and (np.diff(bounds) > 0).all()
     # power-law sources (inverse-CDF zipf over ranks, as powerlaw_graph) —
     # degree rank is DECOUPLED from community id by a random rank→node map,
     # so hubs spread across communities (without it the zipf head and
