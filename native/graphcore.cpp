@@ -365,4 +365,53 @@ int gc_stream_fill(const int32_t* indices, int32_t* ws_local, int32_t* row0,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Label propagation (graphs/relabel.py::_labelprop_labels) — bit-identical
+// to the numpy implementation: synchronous sweeps, each node adopts the
+// most frequent neighbor label, ties broken by the per-sweep keyed hash
+// (label * 2654435761 + iter * 0x9E3779B9) & 0x7FFFFFFF (min key wins).
+// The numpy path costs ~300 s at 100M edges (a lexsort per sweep); this is
+// the production path for full-scale graphs. Returns the sweep count run.
+// ---------------------------------------------------------------------------
+int64_t gc_labelprop(const int64_t* indptr, const int32_t* indices,
+                     int64_t num_nodes, int64_t iters,
+                     int64_t* labels /*[n] in-out, init 0..n-1*/) {
+  std::vector<int64_t> next(num_nodes);
+  std::vector<int32_t> scratch;
+  int64_t it = 0;
+  for (; it < iters; ++it) {
+    bool changed = false;
+    for (int64_t v = 0; v < num_nodes; ++v) {
+      int64_t e0 = indptr[v], e1 = indptr[v + 1];
+      if (e0 == e1) {
+        next[v] = labels[v];
+        continue;
+      }
+      scratch.resize(e1 - e0);
+      for (int64_t e = e0; e < e1; ++e)
+        scratch[e - e0] = (int32_t)labels[indices[e]];
+      std::sort(scratch.begin(), scratch.end());
+      int64_t best_lab = -1, best_cnt = 0, best_key = INT64_MAX;
+      for (size_t i = 0; i < scratch.size();) {
+        size_t j = i;
+        while (j < scratch.size() && scratch[j] == scratch[i]) ++j;
+        int64_t cnt = (int64_t)(j - i);
+        int64_t lab = scratch[i];
+        int64_t key = (lab * 2654435761LL + it * 0x9E3779B9LL) & 0x7FFFFFFFLL;
+        if (cnt > best_cnt || (cnt == best_cnt && key < best_key)) {
+          best_cnt = cnt;
+          best_key = key;
+          best_lab = lab;
+        }
+        i = j;
+      }
+      next[v] = best_lab;
+      changed |= (best_lab != labels[v]);
+    }
+    std::copy(next.begin(), next.end(), labels);
+    if (!changed) break;
+  }
+  return it;
+}
+
 }  // extern "C"

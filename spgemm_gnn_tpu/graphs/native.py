@@ -67,6 +67,12 @@ def _load():
             lib.gc_stream_fill.argtypes = [_i32p, _i32p, _i32p, _i32p, _i16p]
         except AttributeError:   # stale .so without the stream planner
             lib.gc_stream_count = None
+        try:
+            lib.gc_labelprop.restype = ctypes.c_int64
+            lib.gc_labelprop.argtypes = [_i64p, _i32p, ctypes.c_int64,
+                                         ctypes.c_int64, _i64p]
+        except AttributeError:   # stale .so without the LPA entry
+            lib.gc_labelprop = None
         _LIB = lib
         return lib
 
@@ -117,6 +123,22 @@ def build_plan_arrays(indptr: np.ndarray, indices: np.ndarray,
     if rc != 0:
         return None
     return ws_dst, ws_src, e_src, e_dst
+
+
+def labelprop(indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
+              iters: int = 8):
+    """Native label propagation (bit-identical to the numpy sweeps in
+    graphs/relabel.py, tests/test_native.py). Returns int64 labels or None."""
+    lib = _load()
+    if not lib or getattr(lib, "gc_labelprop", None) is None:
+        return None
+    indptr64 = np.ascontiguousarray(indptr, np.int64)
+    indices32 = np.ascontiguousarray(indices, np.int32)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    rc = lib.gc_labelprop(indptr64, indices32, num_nodes, iters, labels)
+    if rc < 0:
+        return None
+    return labels
 
 
 def build_stream_arrays(indptr: np.ndarray, indices: np.ndarray,

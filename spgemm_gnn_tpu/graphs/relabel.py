@@ -41,7 +41,8 @@ ORDERS = ("degree", "bfs", "rcm", "degree-bfs", "labelprop")
 
 
 def _labelprop_labels(indptr: np.ndarray, indices: np.ndarray,
-                      num_nodes: int, iters: int = 8) -> np.ndarray:
+                      num_nodes: int, iters: int = 8,
+                      use_native: bool = True) -> np.ndarray:
     """Synchronous label propagation: each sweep every node adopts the most
     frequent label among its neighbors. Ties break by a per-sweep keyed hash
     of the label — NOT min-label: on a dense graph every neighbor label is
@@ -49,7 +50,16 @@ def _labelprop_labels(indptr: np.ndarray, indices: np.ndarray,
     into epidemic minimum propagation and one label floods half the graph
     (measured on the full-scale SBM: a 120K/233K-node label after 2 sweeps).
     Randomised ties coalesce labels locally instead, the standard LPA fix.
-    Vectorised: one lexsort over (dst, label) per sweep + run-length mode."""
+
+    Native fast path (graphcore.cpp gc_labelprop, bit-identical — the
+    production path: the numpy sweeps cost ~300 s at 100M edges); numpy
+    fallback: one lexsort over (dst, label) per sweep + run-length mode."""
+    if use_native:
+        from spgemm_gnn_tpu.graphs import native
+        if native.available():
+            res = native.labelprop(indptr, indices, num_nodes, iters)
+            if res is not None:
+                return res
     dst = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
     src = np.asarray(indices, np.int64)
     labels = np.arange(num_nodes, dtype=np.int64)

@@ -69,3 +69,22 @@ def test_native_stream_planner_bit_identical():
                 np.testing.assert_array_equal(np.asarray(getattr(p_n, f)),
                                               np.asarray(getattr(p_p, f)),
                                               err_msg=f)
+
+
+def test_native_labelprop_bit_identity():
+    """gc_labelprop must match the numpy LPA sweeps exactly (same counts,
+    same keyed-hash tie-break, same convergence)."""
+    import numpy as np
+    from spgemm_gnn_tpu.graphs import native
+    from spgemm_gnn_tpu.graphs.relabel import _labelprop_labels
+    from spgemm_gnn_tpu.graphs.synthetic import sbm_graph, random_graph
+    if not native.available() or native._load().gc_labelprop is None:
+        import pytest
+        pytest.skip("native labelprop unavailable")
+    for g in (sbm_graph(2000, 24000, communities=32, seed=5),
+              random_graph(1500, 9000, seed=6, symmetric=False)):
+        ip = np.asarray(g.indptr, np.int64)
+        ix = np.asarray(g.indices, np.int64)
+        a = _labelprop_labels(ip, ix, g.num_nodes, use_native=True)
+        b = _labelprop_labels(ip, ix, g.num_nodes, use_native=False)
+        np.testing.assert_array_equal(a, b)
