@@ -59,7 +59,13 @@ class _Base(nn.Module):
                 xx, _ = self._nl(xx, gg)
             return m(gg, xx, train=train)
         if self.remat:
-            return nn.remat(body, prevent_cse=False)(mod, g, x)
+            # prevent_cse=True (the jax default) is LOAD-BEARING: without the
+            # optimization barriers, XLA CSE merges the recomputed backward
+            # ops with the forward ones and silently undoes the remat — the
+            # jaxpr recomputes but the lowered HLO does not (measured r5:
+            # yelp-f32 peak memory identical with/without remat). The
+            # barrier-free variant is only safe under an enclosing lax.scan.
+            return nn.remat(body)(mod, g, x)
         return body(mod, g, x)
 
     def _agg(self, g, x, norm, *, nl: bool = False):
@@ -73,7 +79,8 @@ class _Base(nn.Module):
                 xx, _ = self._nl(xx, g)
             return aggregate(g, xx, norm=norm, k=k, impl=self.impl)
         if self.remat:
-            return jax.checkpoint(body, prevent_cse=False)(x)
+            # prevent_cse=True: see _conv — barrier-free remat is CSE'd away
+            return jax.checkpoint(body)(x)
         return body(x)
 
 
