@@ -196,7 +196,21 @@ def aggregate(g, x: jax.Array, norm: str = "sum", k: int | None = None,
     If `k` is None, x is treated as dense and routed through the XLA SpMM
     baseline. If `k` is given, x must already be k-sparse per row (MaxK output);
     it is converted to CBSR and routed through the SpGEMM/SSpMM pair.
+
+    The result carries the checkpoint name "agg_out": under `--remat` the
+    models use `save_only_these_names("agg_out")`, so rematerialisation
+    recomputes the CHEAP per-layer ops (dense matmuls, MaxK) but never
+    re-runs the edge-proportional aggregation kernel — its VJP is the
+    transpose kernel on the cotangent and needs no forward residuals
+    (the op is linear in x). Measured at products scale: full remat re-ran
+    the kernel per layer (11.2 → 16.8 s/epoch); this policy keeps the fit
+    without that cost (models/models.py).
     """
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(_aggregate_impl(g, x, norm, k, impl), "agg_out")
+
+
+def _aggregate_impl(g, x, norm, k, impl) -> jax.Array:
     from spgemm_gnn_tpu.parallel.sharded import ShardedGraph, sharded_spmm
     if isinstance(g, ShardedGraph):
         return sharded_spmm(g, x, norm, k=k)

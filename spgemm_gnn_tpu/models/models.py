@@ -15,6 +15,15 @@ import jax
 
 
 from spgemm_gnn_tpu.kernels.api import aggregate, maxk_op
+
+# --remat checkpoint policy: keep the aggregation outputs (tagged "agg_out"
+# in kernels/api.py::aggregate) as residuals, recompute everything else.
+# The aggregation is linear (its VJP is the transpose kernel on the
+# cotangent — no forward residuals needed), so saving its output costs one
+# [N, hidden] buffer per layer while dropping the kernel re-run a
+# full-recompute policy pays (products measured: 16.8 vs 11.2 s/epoch).
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("agg_out")
+
 from spgemm_gnn_tpu.models.layers import (
     SAGEConv, GraphConvAgg, GINAgg, xavier_uniform, xavier_uniform_relu,
 )
@@ -65,7 +74,11 @@ class _Base(nn.Module):
             # jaxpr recomputes but the lowered HLO does not (measured r5:
             # yelp-f32 peak memory identical with/without remat). The
             # barrier-free variant is only safe under an enclosing lax.scan.
-            return nn.remat(body)(mod, g, x)
+            # Policy: save the aggregation outputs (tagged in kernels/api.py)
+            # — the aggregation is linear, its VJP needs no forward rerun,
+            # and a full-recompute policy re-ran the edge-proportional
+            # kernel per layer (products: 11.2 → 16.8 s/epoch measured).
+            return nn.remat(body, policy=_REMAT_POLICY)(mod, g, x)
         return body(mod, g, x)
 
     def _agg(self, g, x, norm, *, nl: bool = False):
@@ -80,7 +93,7 @@ class _Base(nn.Module):
             return aggregate(g, xx, norm=norm, k=k, impl=self.impl)
         if self.remat:
             # prevent_cse=True: see _conv — barrier-free remat is CSE'd away
-            return jax.checkpoint(body)(x)
+            return jax.checkpoint(body, policy=_REMAT_POLICY)(x)
         return body(x)
 
 
